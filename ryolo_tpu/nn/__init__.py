@@ -1,0 +1,3 @@
+"""Flax model layer: blocks, backbones (v4/v5/v7), PAN necks, rotated heads."""
+
+from ryolo_tpu.nn.yolo import Yolo, make_anchors, make_rotated_anchors  # noqa: F401

@@ -1,0 +1,369 @@
+"""Reusable conv blocks in Flax (NHWC, TPU-native layouts).
+
+Functional re-design of the reference's ``model/utils.py`` building blocks
+(`Conv` ``model/utils.py:6-32``, `Bottleneck` ``:35-46``, `CSP` ``:49-64``,
+`C5` ``:67-80``, `C3` ``:83-95``, `ELAN1/2` ``:98-143``, `MaxConv`
+``:146-160``, `ImplicitA/M` ``:163-186``, `RepConv` ``:189-215``,
+`SPP/SPPF/SPPCSPC` ``:218-282``).  Differences from the reference are purely
+representational:
+
+  * NHWC activations / HWIO kernels (MXU/XLA-native) instead of NCHW.
+  * ``train`` flag threads batch-norm mode; running stats live in the
+    ``batch_stats`` collection.
+  * compute dtype is configurable (bfloat16 on TPU); params stay float32.
+
+Submodule names intentionally mirror the reference attribute names so the
+``.pth`` checkpoint converter is a mechanical rename+transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "mish": mish,
+    "leaky": lambda x: jax.nn.leaky_relu(x, 0.1),
+    "swish": jax.nn.silu,
+    "linear": lambda x: x,
+}
+
+
+def max_pool_same(x, k: int):
+    """k×k stride-1 max pool with same-size output (-inf padding), NHWC."""
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)])
+
+
+def upsample2x(x):
+    """Nearest-neighbor 2x upsample (torch ``nn.Upsample(scale_factor=2)``)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class ConvBlock(nn.Module):
+    """Conv2d(+pad (k-1)/2) -> optional BN -> activation.
+
+    Mirrors ``model/utils.py:6-32``; bias only for detection heads
+    (``bias=True, bn=False, activation='linear'``).
+    """
+
+    out_ch: int
+    k: int
+    stride: int
+    act: str
+    bn: bool = True
+    bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.k - 1) // 2
+        x = nn.Conv(
+            self.out_ch,
+            (self.k, self.k),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=self.bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 with residual iff shortcut and c_in == c_out (``:35-46``)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    act: str = "mish"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBlock(c_, 1, 1, self.act, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBlock(self.c2, 3, 1, self.act, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            y = x + y
+        return y
+
+
+class CSP(nn.Module):
+    """YOLOv4 cross-stage-partial block, mish (``model/utils.py:49-64``)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c1 * self.e)
+        y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, e=1.0, act="mish",
+                            dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype, name="cv3")(y1, train)
+        y2 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBlock(self.c2, 1, 1, "mish", dtype=self.dtype, name="cv4")(y, train)
+
+
+class C5(nn.Module):
+    """Five consecutive leaky convs 1-3-1-3-1 (``model/utils.py:67-80``)."""
+
+    c1: int
+    c2: int
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c1 * self.e)
+        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv1")(x, train)
+        x = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv2")(x, train)
+        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv3")(x, train)
+        x = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv4")(x, train)
+        return ConvBlock(self.c2, 1, 1, "leaky", dtype=self.dtype, name="cv5")(x, train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs, swish (``model/utils.py:83-95``)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c1 * self.e)
+        y1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, e=1.0, act="swish",
+                            dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y2 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv3")(y, train)
+
+
+class ELAN1(nn.Module):
+    """v7 backbone aggregation block (``model/utils.py:98-118``)."""
+
+    c1: int
+    c2: int
+    e1: float = 0.5
+    e2: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h1 = int(self.c1 * self.e1)
+        h2 = int(self.c1 * self.e2)
+        x1 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
+        x2 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
+        x3 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv3")(x2, train)
+        x3 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv4")(x3, train)
+        x4 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv5")(x3, train)
+        x4 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv6")(x4, train)
+        y = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv7")(y, train)
+
+
+class ELAN2(nn.Module):
+    """v7 neck aggregation block, 6-branch (``model/utils.py:121-143``)."""
+
+    c1: int
+    c2: int
+    e1: float = 0.5
+    e2: float = 0.25
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h1 = int(self.c1 * self.e1)
+        h2 = int(self.c1 * self.e2)
+        x1 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
+        x2 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
+        x3 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv3")(x2, train)
+        x4 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv4")(x3, train)
+        x5 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv5")(x4, train)
+        x6 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv6")(x5, train)
+        y = jnp.concatenate([x1, x2, x3, x4, x5, x6], axis=-1)
+        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv7")(y, train)
+
+
+class MaxConv(nn.Module):
+    """Parallel maxpool/strided-conv downsample (``model/utils.py:146-160``)."""
+
+    c1: int
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c1 * self.e)
+        x1 = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x1, train)
+        x2 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
+        x2 = ConvBlock(c_, 3, 2, "swish", dtype=self.dtype, name="cv3")(x2, train)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class ImplicitA(nn.Module):
+    """YOLOR implicit-knowledge additive prior (``model/utils.py:163-173``)."""
+
+    channels: int
+    mean: float = 0.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        imp = self.param(
+            "implicit",
+            lambda key: self.mean
+            + self.std * jax.random.normal(key, (1, 1, 1, self.channels)),
+        )
+        return x + imp.astype(x.dtype)
+
+
+class ImplicitM(nn.Module):
+    """YOLOR implicit-knowledge multiplicative prior (``model/utils.py:176-186``)."""
+
+    channels: int
+    mean: float = 1.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        imp = self.param(
+            "implicit",
+            lambda key: self.mean
+            + self.std * jax.random.normal(key, (1, 1, 1, self.channels)),
+        )
+        return x * imp.astype(x.dtype)
+
+
+class RepConv(nn.Module):
+    """RepVGG block: 3x3 + 1x1 + identity-BN branches, SiLU (``:189-215``).
+
+    Train-time structure only (the reference implements no deploy-time fusion
+    either); XLA fuses the three branches into the surrounding graph.
+    """
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = 1
+        dense = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                        padding=[(p, p), (p, p)], use_bias=False,
+                        dtype=self.dtype, name="dense_conv")(x)
+        dense = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name="dense_bn")(dense)
+        one = nn.Conv(self.c2, (1, 1), strides=(self.s, self.s),
+                      use_bias=False, dtype=self.dtype, name="px_conv")(x)
+        one = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="px_bn")(one)
+        out = dense + one
+        if self.c1 == self.c2 and self.s == 1:
+            ident = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name="id_bn")(x)
+            out = out + ident
+        return jax.nn.silu(out)
+
+
+class SPP(nn.Module):
+    """YOLOv4 spatial pyramid pooling 5/9/13, leaky (``model/utils.py:218-244``)."""
+
+    c1: int
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv1")(x, train)
+        x = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv2")(x, train)
+        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv3")(x, train)
+        y = jnp.concatenate(
+            [max_pool_same(x, 13), max_pool_same(x, 9), max_pool_same(x, 5), x],
+            axis=-1,
+        )
+        y = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv4")(y, train)
+        y = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv5")(y, train)
+        return ConvBlock(self.c2, 1, 1, "leaky", dtype=self.dtype, name="cv6")(y, train)
+
+
+class SPPF(nn.Module):
+    """YOLOv5 fast SPP: cascaded maxpool-5 (``model/utils.py:247-261``)."""
+
+    c1: int
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
+        y1 = max_pool_same(x, self.k)
+        y2 = max_pool_same(y1, self.k)
+        y3 = max_pool_same(y2, self.k)
+        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv2")(y, train)
+
+
+class SPPCSPC(nn.Module):
+    """YOLOv7 CSP-wrapped SPP, pools 5/9/13 (``model/utils.py:264-282``)."""
+
+    c1: int
+    c2: int
+    e: float = 0.5
+    pools: Sequence[int] = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        x1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
+        x1 = ConvBlock(c_, 3, 1, "swish", dtype=self.dtype, name="cv3")(x1, train)
+        x1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv4")(x1, train)
+        y1 = jnp.concatenate([x1] + [max_pool_same(x1, k) for k in self.pools],
+                             axis=-1)
+        y1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv5")(y1, train)
+        y1 = ConvBlock(c_, 3, 1, "swish", dtype=self.dtype, name="cv6")(y1, train)
+        y2 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv7")(y, train)

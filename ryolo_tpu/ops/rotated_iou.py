@@ -1,0 +1,154 @@
+"""Exact rotated-rectangle IoU as fixed-shape, vectorized XLA.
+
+TPU-native replacement for detectron2's CUDA ``pairwise_iou_rotated``
+(reference call sites: ``test.py:135`` for mAP matching, ``lib/general.py``
+NMS path).  Box convention matches detectron2: ``(cx, cy, w, h, angle)`` with
+``angle`` in **degrees**; ``w`` spans the local x axis and ``h`` the local y
+axis before rotation.  (The reference converts its radian long-side boxes to
+degrees right before calling detectron2 — ``lib/general.py:174``,
+``test.py:127-128`` — so this op keeps the same input contract.)
+
+Algorithm: Sutherland–Hodgman clipping of rectangle A's 4-gon by the four
+half-planes of rectangle B, carried out entirely on fixed-size vertex buffers
+(max 8 vertices — the exact upper bound for the intersection of two convex
+quadrilaterals), so the whole computation is static-shape, branch-free, and
+vectorizes over arbitrary batch dimensions on the VPU.  Compaction of emitted
+vertices uses a tiny 16-key argsort rather than scatter, which lowers to a
+fast fixed-width sorting network.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_MAX_VERTS = 8  # convex quad ∩ convex quad has at most 8 vertices
+
+
+def box_to_corners(boxes: jax.Array) -> jax.Array:
+    """``(..., 5)`` (cx, cy, w, h, angle_deg) -> corners ``(..., 4, 2)``.
+
+    detectron2 layout: local x extent = w, local y extent = h, rotated by
+    ``angle`` degrees.  Corner winding is consistent (a rotated CCW order);
+    only consistency matters for the clipping below.
+    """
+    cx, cy, w, h, a = jnp.split(boxes, 5, axis=-1)
+    t = a * (jnp.pi / 180.0)
+    c, s = jnp.cos(t), jnp.sin(t)
+    dx = jnp.stack([w, -w, -w, w], axis=-2) / 2.0  # (..., 4, 1)
+    dy = jnp.stack([h, h, -h, -h], axis=-2) / 2.0
+    px = cx[..., None, :] + c[..., None, :] * dx - s[..., None, :] * dy
+    py = cy[..., None, :] + s[..., None, :] * dx + c[..., None, :] * dy
+    return jnp.concatenate([px, py], axis=-1)  # (..., 4, 2)
+
+
+def _clip_by_halfplane(poly, cnt, edge_p, edge_n):
+    """One Sutherland–Hodgman clip step on fixed-size buffers.
+
+    poly: ``(..., 8, 2)`` vertex buffer, first ``cnt`` entries valid.
+    cnt:  ``(...,)`` int32 valid-vertex count.
+    edge_p / edge_n: a point on the clip line and its inward normal
+    (``(..., 2)`` each).  Keeps the half-plane ``dot(x - p, n) >= 0``.
+    """
+    V = _MAX_VERTS
+    idx = jnp.arange(V, dtype=jnp.int32)
+    valid = idx < cnt[..., None]  # (..., 8)
+
+    d = jnp.sum((poly - edge_p[..., None, :]) * edge_n[..., None, :], axis=-1)
+    nxt = jnp.mod(idx + 1, jnp.maximum(cnt[..., None], 1))
+    poly_nxt = jnp.take_along_axis(poly, nxt[..., None], axis=-2)
+    d_nxt = jnp.take_along_axis(d, nxt, axis=-1)
+
+    cur_in = d >= 0
+    nxt_in = d_nxt >= 0
+
+    denom = d - d_nxt
+    t = jnp.where(jnp.abs(denom) > 1e-14, d / jnp.where(denom == 0, 1.0, denom), 0.0)
+    inter = poly + t[..., None] * (poly_nxt - poly)
+
+    # Two emission slots per input vertex: [vertex-if-inside, crossing-point].
+    emit_v = valid & cur_in
+    emit_x = valid & (cur_in ^ nxt_in)
+    pts = jnp.stack([poly, inter], axis=-2).reshape(*poly.shape[:-2], 2 * V, 2)
+    flags = jnp.stack([emit_v, emit_x], axis=-1).reshape(*emit_v.shape[:-1], 2 * V)
+
+    # Stable compaction without scatter: unique sort keys put emitted slots
+    # first, in original order.  16-wide sort -> fixed sorting network.
+    slot = jnp.arange(2 * V, dtype=jnp.int32)
+    keys = jnp.where(flags, slot, slot + 2 * V)
+    order = jnp.argsort(keys, axis=-1)[..., :V]
+    out_poly = jnp.take_along_axis(pts, order[..., None], axis=-2)
+    out_cnt = jnp.sum(flags, axis=-1).astype(jnp.int32)  # provably <= 8
+    return out_poly, out_cnt
+
+
+def _polygon_area(poly, cnt):
+    """Shoelace area of the first ``cnt`` vertices (any winding)."""
+    V = _MAX_VERTS
+    idx = jnp.arange(V, dtype=jnp.int32)
+    valid = idx < cnt[..., None]
+    nxt = jnp.mod(idx + 1, jnp.maximum(cnt[..., None], 1))
+    p2 = jnp.take_along_axis(poly, nxt[..., None], axis=-2)
+    cross = poly[..., 0] * p2[..., 1] - poly[..., 1] * p2[..., 0]
+    return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0), axis=-1))
+
+
+def rotated_rect_intersection_area(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
+    """Exact intersection area of paired rotated rects ``(..., 5)`` (degrees)."""
+    boxes1, boxes2 = jnp.broadcast_arrays(boxes1, boxes2)
+    poly = box_to_corners(boxes1)  # (..., 4, 2)
+    pad = jnp.zeros(poly.shape[:-2] + (_MAX_VERTS - 4, 2), poly.dtype)
+    poly = jnp.concatenate([poly, pad], axis=-2)
+    cnt = jnp.full(poly.shape[:-2], 4, dtype=jnp.int32)
+
+    clip_c = box_to_corners(boxes2)  # (..., 4, 2)
+    center2 = boxes2[..., 0:2]
+    for e in range(4):
+        p0 = clip_c[..., e, :]
+        p1 = clip_c[..., (e + 1) % 4, :]
+        edge = p1 - p0
+        n = jnp.stack([-edge[..., 1], edge[..., 0]], axis=-1)
+        # Orient the normal inward (toward the clip rect's center).
+        sgn = jnp.sign(jnp.sum((center2 - p0) * n, axis=-1, keepdims=True))
+        n = n * jnp.where(sgn == 0, 1.0, sgn)
+        poly, cnt = _clip_by_halfplane(poly, cnt, p0, n)
+    return _polygon_area(poly, cnt)
+
+
+def rotated_iou_pairs(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
+    """Elementwise IoU of two equal-shaped sets of rotated boxes ``(..., 5)``."""
+    b1 = boxes1.astype(jnp.float32)
+    b2 = boxes2.astype(jnp.float32)
+    inter = rotated_rect_intersection_area(b1, b2)
+    a1 = b1[..., 2] * b1[..., 3]
+    a2 = b2[..., 2] * b2[..., 3]
+    union = a1 + a2 - inter
+    return jnp.where(union > 0, inter / jnp.where(union == 0, 1.0, union), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("row_block",))
+def pairwise_rotated_iou(boxes1: jax.Array, boxes2: jax.Array,
+                         row_block: int = 256) -> jax.Array:
+    """Full N×M skew-IoU matrix (degrees convention), tiled over rows.
+
+    Drop-in equivalent of detectron2's ``pairwise_iou_rotated``
+    (``test.py:135``).  Row-tiling bounds the live intermediate buffers at
+    ``row_block × M × 8 × 2`` so N=M=5000 eval workloads stay well under VMEM
+    pressure and HBM spikes.
+    """
+    n = boxes1.shape[0]
+    m = boxes2.shape[0]
+    if n == 0 or m == 0:
+        return jnp.zeros((n, m), jnp.float32)
+    rb = min(row_block, max(n, 1))
+    n_pad = ((n + rb - 1) // rb) * rb
+    b1 = jnp.pad(boxes1.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    chunks = b1.reshape(n_pad // rb, rb, 5)
+
+    def one_chunk(rows):
+        return rotated_iou_pairs(rows[:, None, :], boxes2[None, :, :])
+
+    iou = jax.lax.map(one_chunk, chunks).reshape(n_pad, m)
+    return iou[:n]
