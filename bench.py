@@ -1,0 +1,80 @@
+"""Benchmark: images/sec/chip for the 800px detect path (BASELINE metric).
+
+Runs the flagship inference configuration — YOLOv7 + CSL, 800 px, batch 8,
+jit-fused forward+decode followed by fixed-shape rotated post-processing —
+on the available accelerator and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by A100_BASELINE_IPS, a
+documented estimate of the PyTorch reference's A100 throughput for the same
+config (the reference publishes no numbers — BASELINE.md — so the rebuild's
+north star "≥3× A100 images/sec/chip" is anchored to this constant; replace
+it with a measured value when one exists).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated PyTorch-reference throughput on A100 for yolov7-csl @800px
+# batched detect (fp16, including NMS post-processing). No published number
+# exists (BASELINE.json "published": {}); this anchor is an engineering
+# estimate for the vs_baseline ratio only.
+A100_BASELINE_IPS = 120.0
+
+BATCH = 8
+IMG = 800
+NC = 16  # DOTA
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ryolo_tpu.eval.postprocess import post_process_fixed
+    from ryolo_tpu.nn import Yolo
+
+    cfg = {
+        "anchors": [[12, 16, 19, 36, 40, 28], [36, 75, 76, 55, 72, 146],
+                    [142, 110, 192, 243, 459, 401]],
+        "angles": [-90, -60, -30, 0, 30, 60],
+    }
+    model = Yolo(n_classes=NC, model_config=cfg, mode="csl", ver="yolov7",
+                 dtype=jnp.bfloat16)
+    img = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+    @jax.jit
+    def detect_step(images):
+        _, decoded = model.apply(variables, images, train=False, decode=True)
+        dets, valid = post_process_fixed(decoded, 0.7, 0.2)
+        return dets, valid
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(0, 1, (BATCH, IMG, IMG, 3)),
+                        jnp.float32)
+
+    # warmup + compile
+    d, v = detect_step(batch)
+    jax.block_until_ready((d, v))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, v = detect_step(batch)
+    jax.block_until_ready((d, v))
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * iters / dt
+    print(json.dumps({
+        "metric": "images_per_sec_chip_800px_detect_yolov7_csl",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Inference CLI — same surface as the reference ``detect.py``
+(args at ``detect.py:85-97``): batch detection over an image folder with
+per-batch inference/post-process timing and drawn rotated boxes.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ryolo_tpu.utils.platform import apply_env_platform
+
+apply_env_platform()
+import numpy as np
+
+from ryolo_tpu.data.datasets import ImageDataset
+from ryolo_tpu.eval.postprocess import post_process_fixed
+from ryolo_tpu.nn import Yolo
+from ryolo_tpu.utils.checkpoint import import_state_dict, load_pth
+from ryolo_tpu.utils.config import load_yaml
+from ryolo_tpu.utils.logger import logger
+from ryolo_tpu.utils.plot import plot_boxes
+
+
+class Detect:
+    def __init__(self, args):
+        self.args = args
+
+    def detect(self):
+        args = self.args
+        data = load_yaml(args.data)
+        config = load_yaml(args.hyp)
+        nc = len(data["names"])
+
+        dataset = ImageDataset(data["test"], img_size=args.img_size,
+                               ext=args.ext)
+        if not len(dataset):
+            logger.error(f"No .{args.ext} images found under {data['test']}")
+            sys.exit(1)
+
+        if not os.path.isfile(args.weight_path):
+            logger.error("Model weight not found.")
+            sys.exit(1)
+
+        model = Yolo(n_classes=nc, model_config=config["model"],
+                     mode=args.mode, ver=args.ver)
+        sample = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
+        variables = dict(model.init(jax.random.PRNGKey(0), sample,
+                                    train=False))
+        variables, n = import_state_dict(load_pth(args.weight_path), variables)
+        logger.info(f"Loaded {n} tensors from {args.weight_path}")
+
+        @jax.jit
+        def infer(images):
+            _, decoded = model.apply(variables, images, train=False,
+                                     decode=True)
+            return decoded
+
+        save_folder = os.path.join("outputs", "inference")
+        os.makedirs(save_folder, exist_ok=True)
+
+        bs = args.batch_size
+        start = time.time()
+        for i in range(0, len(dataset), bs):
+            items = [dataset[j] for j in range(i, min(i + bs, len(dataset)))]
+            paths = [p for p, _ in items]
+            images = jnp.asarray(np.stack([im for _, im in items]))
+
+            t0 = time.time()
+            decoded = infer(images)
+            decoded.block_until_ready()
+            t1 = time.time()
+            dets, valid = post_process_fixed(
+                decoded, float(args.conf_thres), float(args.nms_thres)
+            )
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
+            t2 = time.time()
+
+            boxes = [dets[b][valid[b]] for b in range(len(paths))]
+            num = sum(len(b) for b in boxes)
+            logger.info("-----------------------------------")
+            logger.info("{}-> {} objects found".format(paths, num))
+            logger.info("Inference time : " + "%10.4g" % round(t1 - t0, 5))
+            logger.info("Post-processing time : " + "%10.4g" % round(t2 - t1, 5))
+            logger.info("-----------------------------------")
+
+            for path, box in zip(paths, boxes):
+                # reorder [x,y,w,h,θ,conf,cls] rows for plotting (conf, cls)
+                plot_boxes(path, box, data["names"], args.img_size,
+                           save_folder)
+
+        logger.info("-----------------------------------")
+        logger.info("Total detecting time : " + "%10.4g"
+                    % round(time.time() - start, 5))
+        logger.info("-----------------------------------")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weight_path", type=str, default="")
+    parser.add_argument("--mode", default="csl", nargs="?",
+                        choices=["csl", "kfiou"])
+    parser.add_argument("--ver", default="yolov5", nargs="?",
+                        choices=["yolov4", "yolov5", "yolov7"])
+    parser.add_argument("--conf_thres", type=float, default=0.7)
+    parser.add_argument("--nms_thres", type=float, default=0.2)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--img_size", type=int, default=608)
+    parser.add_argument("--data", type=str, default="")
+    parser.add_argument("--hyp", type=str, default="")
+    parser.add_argument("--ext", type=str, default="png",
+                        choices=["png", "jpg"])
+    args = parser.parse_args()
+    print(args)
+
+    d = Detect(args)
+    d.detect()

@@ -1,0 +1,392 @@
+"""Dataset parsers + per-sample pipeline for rotated-box detection.
+
+Re-design of ``datasets/*.py``: DOTA (8-point polygon + class-name rows,
+``datasets/DOTA_dataset.py:19-49``), UCAS-AOD (tab-separated
+``class x1..y4``, ``datasets/UCASAOD_dataset.py:20-51``), custom
+(``cx cy w h θ label`` rows produced by ``xml2txt.py:20-35`` — the
+reference's ``custom_dataset.py`` is stale/broken per SURVEY.md §2.8; the
+format is implemented here with the fixed interface), and the label-free
+``ImageDataset`` used by detect (``datasets/base_dataset.py:59-81``).
+
+Per-sample output is numpy: ``(path, img_rgb_f32_hwc, labels)`` where
+labels are reference-layout rows ``(N, 187)`` CSL = ``[0, cls, x, y, w, h,
+θ, 180 bins]`` or ``(N, 7)`` otherwise, with xywh normalized (column 0 is
+the batch-index slot filled by the collate).  Randomness is an explicit
+``np.random.Generator`` (seeded per (epoch, index) by the loader).
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from ryolo_tpu.data.augment import (
+    filter_by_center,
+    horizontal_flip,
+    hsv_augment,
+    mixup,
+    normalize_targets,
+    pad_to_square,
+    random_warping,
+    vertical_flip,
+)
+from ryolo_tpu.geometry import csl_gaussian_labels_np
+
+PAD_VALUE = (114, 114, 114)
+
+
+def polys_to_xywha_np(polys: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`ryolo_tpu.geometry.xyxyxyxy2xywha` (``(N, 8)``)."""
+    x1, y1, x2, y2, x3, y3, x4, y4 = [polys[:, i] for i in range(8)]
+    x = (x1 + x2 + x3 + x4) / 4
+    y = (y1 + y2 + y3 + y4) / 4
+    w = (np.hypot(x2 - x3, y2 - y3) + np.hypot(x1 - x4, y1 - y4)) / 2
+    h = (np.hypot(x1 - x2, y1 - y2) + np.hypot(x4 - x3, y4 - y3)) / 2
+    theta = -(np.arctan2(y1 - y2, x1 - x2) + np.arctan2(y4 - y3, x4 - x3)) / 2
+    swap = w >= h
+    w2 = np.where(swap, h, w)
+    h2 = np.where(swap, w, h)
+    theta = np.where(swap, np.where(theta > 0, theta - np.pi / 2,
+                                    theta + np.pi / 2), theta)
+    theta = np.where(theta >= np.pi / 2, theta - np.pi, theta)
+    theta = np.where(theta < -np.pi / 2, theta + np.pi, theta)
+    return np.stack([x, y, w2, h2, theta], -1)
+
+
+def xywha_to_polys_np(boxes: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`ryolo_tpu.geometry.xywha2xyxyxyxy` (``(N, 5)`` -> ``(N, 4, 2)``)."""
+    x, y, w, h, t = [boxes[:, i] for i in range(5)]
+    c, s = np.cos(t), np.sin(t)
+    dx = np.stack([-h, h, h, -h], -1) / 2
+    dy = np.stack([-w, -w, w, w], -1) / 2
+    px = x[:, None] + c[:, None] * dx + s[:, None] * dy
+    py = y[:, None] - s[:, None] * dx + c[:, None] * dy
+    return np.stack([px, py], -1)
+
+
+class ImageDataset:
+    """Label-free folder dataset for detect (``datasets/base_dataset.py:59-81``)."""
+
+    def __init__(self, folder_path: str, img_size: int = 416, ext: str = "png"):
+        self.files = sorted(glob.glob(os.path.join(folder_path, f"*.{ext}")))
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index):
+        path = self.files[index % len(self.files)]
+        img = cv2.imread(path)
+        img, _ = pad_to_square(img, (self.img_size, self.img_size), PAD_VALUE)
+        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
+        return path, img
+
+
+class BaseDataset:
+    """Shared mosaic/letterbox/augment/label pipeline (``base_dataset.py:83-363``)."""
+
+    def __init__(self, hyp, img_size: int, augment: bool, csl: bool,
+                 normalized_labels: bool):
+        self.hyp = hyp
+        self.img_size = img_size
+        self.augment = augment
+        self.csl = csl
+        self.normalized_labels = normalized_labels
+        self.mosaic_border = [-img_size // 2, -img_size // 2]
+        self.img_files: List[str] = []
+        self.label_files: List[str] = []
+
+    # -- subclass interface -------------------------------------------------
+    def load_files(self, label_path: str):
+        """Return ``(polys (N, 8) float32 pixels-or-normalized, labels (N,))``."""
+        raise NotImplementedError
+
+    # -- pipeline -----------------------------------------------------------
+    def __len__(self):
+        return len(self.img_files)
+
+    def load_image(self, index: int, rng: Optional[np.random.Generator]):
+        """imread + optional resize to img_size + HSV (``base_dataset.py:172-191``)."""
+        img = cv2.imread(self.img_files[index])
+        h, w = img.shape[:2]
+        if img.ndim != 3 or img.shape[2] != 3:
+            img = np.stack([img, img, img], -1).reshape(h, w, 3)
+        r = self.img_size / max(h, w)
+        if r != 1:
+            interp = cv2.INTER_AREA if (r < 1 and not self.augment) else cv2.INTER_LINEAR
+            img = cv2.resize(img, (int(w * r), int(h * r)), interpolation=interp)
+        if self.augment and rng is not None:
+            hsv_augment(img, rng, self.hyp["hsv_h"], self.hyp["hsv_s"],
+                        self.hyp["hsv_v"])
+        return img, (h, w), img.shape[:2]
+
+    def load_target(self, index, pad, img_size0, img_size, border=None):
+        """Polygon labels in padded-image pixels, ``(N, 9)`` ``[cls, x1..y4]``.
+
+        Port of ``base_dataset.py:193-238`` (without the batch-index column;
+        the collate adds it).
+        """
+        label_path = self.label_files[index % len(self.img_files)].rstrip()
+        if not os.path.exists(label_path):
+            raise FileNotFoundError(f"Label file {label_path} not found")
+        polys, labels = self.load_files(label_path)
+        if not len(labels):
+            return np.zeros((0, 9), np.float32)
+        polys = polys.astype(np.float32).copy()
+        if not self.normalized_labels:
+            h0, w0 = img_size0
+            polys[:, 0::2] /= w0
+            polys[:, 1::2] /= h0
+        h_, w_ = img_size
+        polys[:, 0::2] *= w_
+        polys[:, 1::2] *= h_
+        targets = np.concatenate(
+            [labels.astype(np.float32)[:, None], polys], -1
+        )
+        if border is not None:
+            targets = filter_by_center(targets, border)
+        targets[:, 1::2] += pad[1]
+        targets[:, 2::2] += pad[0]
+        return targets
+
+    def load_mosaic(self, index, rng):
+        """4-image mosaic on a 2s×2s canvas (``base_dataset.py:240-280``)."""
+        s = self.img_size
+        yc, xc = [int(rng.uniform(-x, 2 * s + x)) for x in self.mosaic_border]
+        indices = [index] + list(rng.integers(0, len(self.img_files), 3))
+        labels4 = []
+        img4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
+        for i, idx in enumerate(indices):
+            img, (h0, w0), (h, w) = self.load_image(idx, rng)
+            if i == 0:  # top left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:  # top right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:  # bottom right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            pad = (y1a - y1b, x1a - x1b)
+            labels4.append(
+                self.load_target(idx, pad, (h0, w0), (h, w),
+                                 border=(x1b, x2b, y1b, y2b))
+            )
+        return img4, np.concatenate(labels4, 0)
+
+    def load_mosaic9(self, index, rng):
+        """9-image mosaic on a 3s×3s canvas cropped to 2s (``:282-340``)."""
+        s = self.img_size
+        indices = [index] + list(rng.integers(0, len(self.img_files), 8))
+        labels9 = []
+        img9 = np.full((s * 3, s * 3, 3), 114, np.uint8)
+        hp = wp = h_ = w_ = 0
+        for i, idx in enumerate(indices):
+            img, (h0, w0), (h, w) = self.load_image(idx, rng)
+            if i == 0:
+                h_, w_ = h, w
+                c = s, s, s + w, s + h
+            elif i == 1:
+                c = s, s - h, s + w, s
+            elif i == 2:
+                c = s + wp, s - h, s + wp + w, s
+            elif i == 3:
+                c = s + w_, s, s + w_ + w, s + h
+            elif i == 4:
+                c = s + w_, s + hp, s + w_ + w, s + hp + h
+            elif i == 5:
+                c = s + w_ - w, s + h_, s + w_, s + h_ + h
+            elif i == 6:
+                c = s + w_ - wp - w, s + h_, s + w_ - wp, s + h_ + h
+            elif i == 7:
+                c = s - w, s + h_ - h, s, s + h_
+            else:
+                c = s - w, s + h_ - hp - h, s, s + h_ - hp
+            padx, pady = c[:2]
+            x1, y1, x2, y2 = (max(v, 0) for v in c)
+            img9[y1:y2, x1:x2] = img[y1 - pady:, x1 - padx:][: y2 - y1, : x2 - x1]
+            hp, wp = h, w
+            labels9.append(
+                self.load_target(idx, (pady, padx), (h0, w0), (h, w),
+                                 border=(x1 - padx, w, y1 - pady, h))
+            )
+        labels9 = np.concatenate(labels9, 0)
+        yc, xc = [int(rng.uniform(0, s)) for _ in self.mosaic_border]
+        img9 = img9[yc:yc + 2 * s, xc:xc + 2 * s]
+        labels9 = filter_by_center(labels9, (xc, xc + 2 * s, yc, yc + 2 * s))
+        if len(labels9):
+            labels9[:, 1::2] -= xc
+            labels9[:, 2::2] -= yc
+        return img9, labels9
+
+    def get_sample(self, index: int, rng: np.random.Generator):
+        """One augmented sample: ``(path, img_rgb_f32, labels (N, 187|7))``.
+
+        Port of ``BaseDataset.__getitem__`` (``base_dataset.py:92-159``).
+        """
+        hyp = self.hyp
+        if self.augment and rng.random() < hyp["mosaic"]:
+            if rng.random() < 0.8:
+                img, targets = self.load_mosaic(index, rng)
+            else:
+                img, targets = self.load_mosaic9(index, rng)
+            img, targets = random_warping(img, targets, rng, hyp["rotate"],
+                                          hyp["scale"], hyp["translate"],
+                                          self.mosaic_border)
+            if rng.random() < hyp["mixup"]:
+                j = int(rng.integers(0, len(self.img_files)))
+                if rng.random() < 0.8:
+                    img2, targets2 = self.load_mosaic(j, rng)
+                else:
+                    img2, targets2 = self.load_mosaic9(j, rng)
+                img2, targets2 = random_warping(img2, targets2, rng,
+                                                hyp["rotate"], hyp["scale"],
+                                                hyp["translate"],
+                                                self.mosaic_border)
+                img, targets = mixup(img, targets, img2, targets2, rng)
+        else:
+            img, (h0, w0), (h, w) = self.load_image(
+                index, rng if self.augment else None
+            )
+            img, pad = pad_to_square(img, (self.img_size, self.img_size),
+                                     PAD_VALUE)
+            targets = self.load_target(index, pad, (h0, w0), (h, w))
+            if self.augment:
+                img, targets = random_warping(img, targets, rng,
+                                              hyp["rotate"], hyp["scale"],
+                                              hyp["translate"])
+
+        targets = filter_by_center(targets, (0, img.shape[1], 0, img.shape[0]))
+        targets = normalize_targets(targets, img.shape[:2])
+
+        if self.augment and rng.random() < hyp["fliplr"]:
+            img, targets = horizontal_flip(img, targets)
+        if self.augment and rng.random() < hyp["flipud"]:
+            img, targets = vertical_flip(img, targets)
+
+        n = len(targets)
+        width = 187 if self.csl else 7
+        labels = np.zeros((n, width), np.float32)
+        if n:
+            rboxes = polys_to_xywha_np(targets[:, 1:])
+            labels[:, 1] = targets[:, 0]
+            labels[:, 2:7] = rboxes
+            if self.csl:
+                labels[:, 7:] = csl_gaussian_labels_np(
+                    rboxes[:, 4] * 180 / np.pi + 90, sig=6.0
+                )
+
+        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
+        return self.img_files[index], img, labels
+
+
+class DOTADataset(BaseDataset):
+    """DOTA split: ``images/*.png`` + ``annfiles/*.txt`` polygon rows."""
+
+    def __init__(self, data_dir, class_names, hyp, img_size, augment, csl,
+                 normalized_labels=False):
+        super().__init__(hyp, img_size, augment, csl, normalized_labels)
+        self.img_files = sorted(
+            glob.glob(os.path.join(data_dir, "images", "*.png"))
+        )
+        self.label_files = [
+            p.replace("images", "annfiles").replace(".png", ".txt")
+            for p in self.img_files
+        ]
+        self.category = {
+            name.replace(" ", "-"): i for i, name in enumerate(class_names)
+        }
+
+    def load_files(self, label_path):
+        polys, labels = [], []
+        with open(label_path) as f:
+            for line in f:
+                parts = line.split(" ")
+                if len(parts) < 9:
+                    continue
+                polys.append([float(v) for v in parts[:8]])
+                labels.append(self.category[parts[8].strip()])
+        if not labels:
+            return np.zeros((0, 8), np.float32), np.zeros((0,), np.float32)
+        return np.asarray(polys, np.float32), np.asarray(labels, np.float32)
+
+
+class UCASAODDataset(BaseDataset):
+    """UCAS-AOD: per-image ``.txt`` with tab-separated ``class x1..y4``."""
+
+    def __init__(self, data_dir, class_names, hyp, img_size, augment, csl,
+                 normalized_labels=False):
+        super().__init__(hyp, img_size, augment, csl, normalized_labels)
+        self.img_files = sorted(glob.glob(os.path.join(data_dir, "*.png")))
+        self.label_files = [p.replace(".png", ".txt") for p in self.img_files]
+        self.category = {
+            name.replace(" ", "-"): i for i, name in enumerate(class_names)
+        }
+
+    def load_files(self, label_path):
+        polys, labels = [], []
+        with open(label_path) as f:
+            for line in f:
+                parts = line.split("\t")
+                if len(parts) < 9:
+                    continue
+                polys.append([float(v) for v in parts[1:9]])
+                labels.append(self.category[parts[0].strip()])
+        if not labels:
+            return np.zeros((0, 8), np.float32), np.zeros((0,), np.float32)
+        return np.asarray(polys, np.float32), np.asarray(labels, np.float32)
+
+
+class CustomDataset(BaseDataset):
+    """labelImg2-style custom format: ``cx cy w h θ label`` rows (pixels,
+    θ radians), as produced by ``xml2txt.py:20-35``.  The reference's
+    ``custom_dataset.py`` is broken (mismatched interface, SURVEY.md §2.8);
+    this implements the format with the standard interface: rows are
+    converted to clockwise corner polygons so the shared pipeline applies.
+    """
+
+    def __init__(self, data_dir, class_names, hyp, img_size, augment, csl,
+                 normalized_labels=False, ext="jpg"):
+        super().__init__(hyp, img_size, augment, csl, normalized_labels)
+        self.img_files = sorted(glob.glob(os.path.join(data_dir, f"*.{ext}")))
+        if not self.img_files:
+            self.img_files = sorted(glob.glob(os.path.join(data_dir, "*.png")))
+            ext = "png"
+        self.label_files = [p.replace(f".{ext}", ".txt") for p in self.img_files]
+        self.category = {
+            name.replace(" ", "-"): i for i, name in enumerate(class_names)
+        }
+
+    def load_files(self, label_path):
+        rows = []
+        labels = []
+        with open(label_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 6:
+                    continue
+                x, y, w, h, a = (float(v) for v in parts[:5])
+                # wrap θ into [-π/2, π/2) with long-side-h convention
+                if w > h:
+                    w, h = h, w
+                    a += math.pi / 2
+                a = (a + math.pi / 2) % math.pi - math.pi / 2
+                rows.append([x, y, w, h, a])
+                lab = parts[5].strip()
+                try:
+                    labels.append(float(lab))
+                except ValueError:
+                    labels.append(self.category[lab.replace(" ", "-")])
+        if not labels:
+            return np.zeros((0, 8), np.float32), np.zeros((0,), np.float32)
+        polys = xywha_to_polys_np(np.asarray(rows, np.float32)).reshape(-1, 8)
+        return polys.astype(np.float32), np.asarray(labels, np.float32)

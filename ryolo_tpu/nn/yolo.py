@@ -1,0 +1,94 @@
+"""Model assembly: backbone + PAN neck + rotated head, as one Flax module.
+
+Equivalent of ``model/yolo.py:9-72`` (Yolo, ``_make_anchors``,
+``_make_rotated_anchors``) with decode fused into the jitted forward.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ryolo_tpu.nn.backbones import BACKBONES
+from ryolo_tpu.nn.heads import decode_csl, decode_kfiou, reshape_head
+from ryolo_tpu.nn.necks import NECKS
+
+STRIDES = (8, 16, 32)  # fixed, model/yolo.py:21
+
+
+def make_anchors(strides: Sequence[int], anchors: Sequence[Sequence[float]]):
+    """Per-level (na, 2) anchor wh in grid units (``model/yolo.py:53-61``)."""
+    out = []
+    for stride, anchor in zip(strides, anchors):
+        lvl = [[anchor[i] / stride, anchor[i + 1] / stride]
+               for i in range(0, len(anchor), 2)]
+        out.append(np.asarray(lvl, np.float32))
+    return out
+
+
+def make_rotated_anchors(strides, anchors, angles_rad):
+    """Per-level (na*len(angles), 3) [w, h, θ] anchors (``model/yolo.py:63-72``)."""
+    out = []
+    for stride, anchor in zip(strides, anchors):
+        lvl = []
+        for i in range(0, len(anchor), 2):
+            for ang in angles_rad:
+                lvl.append([anchor[i] / stride, anchor[i + 1] / stride, ang])
+        out.append(np.asarray(lvl, np.float32))
+    return out
+
+
+class Yolo(nn.Module):
+    """Rotated-box YOLO: ``ver`` ∈ {yolov4, yolov5, yolov7} × ``mode`` ∈ {csl, kfiou}.
+
+    ``__call__(images_nhwc, train=..., decode=...)`` returns the tuple of raw
+    per-level head tensors ``(B, na, gs, gs, nf)`` (training contract,
+    ``model/yololayer.py:25,56``); with ``decode=True`` it additionally
+    returns the concatenated decoded predictions ``(B, Σ na·gs², nc+6)``
+    (inference contract, ``model/yolo.py:46-51``).
+    """
+
+    n_classes: int
+    model_config: Any  # {'anchors': 3x[6], 'angles': [6] degrees}
+    mode: str = "csl"  # 'csl' | 'kfiou'
+    ver: str = "yolov5"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.mode not in ("csl", "kfiou"):
+            raise NotImplementedError(f"Loss mode : {self.mode} not found.")
+        if self.ver not in BACKBONES:
+            raise NotImplementedError(f"Yolo version : {self.ver} not found.")
+        anchors = self.model_config["anchors"]
+        angles = [a * math.pi / 180.0 for a in self.model_config["angles"]]
+        if self.mode == "csl":
+            self.nf = 4 + 180 + 1 + self.n_classes
+            self.anchors = make_anchors(STRIDES, anchors)
+        else:
+            self.nf = 5 + 1 + self.n_classes
+            self.anchors = make_rotated_anchors(STRIDES, anchors, angles)
+        self.na = len(self.anchors[0])
+        out_ch = self.nf * self.na
+
+        self.backbone = BACKBONES[self.ver](dtype=self.dtype, name="backbone")
+        self.neck = NECKS[self.ver](out_ch, dtype=self.dtype, name="neck")
+
+    def __call__(self, images, train: bool = False, decode: bool = False):
+        d3, d4, d5 = self.backbone(images, train)
+        x6, x5, x4 = self.neck(d5, d4, d3, train)
+        outs = tuple(
+            reshape_head(x.astype(jnp.float32), self.na, self.nf)
+            for x in (x6, x5, x4)
+        )
+        if not decode:
+            return outs
+        if self.mode == "csl":
+            dec = decode_csl(outs, self.anchors, STRIDES, self.n_classes)
+        else:
+            dec = decode_kfiou(outs, self.anchors, STRIDES, self.n_classes)
+        return outs, dec

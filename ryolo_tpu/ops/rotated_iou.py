@@ -152,3 +152,38 @@ def pairwise_rotated_iou(boxes1: jax.Array, boxes2: jax.Array,
 
     iou = jax.lax.map(one_chunk, chunks).reshape(n_pad, m)
     return iou[:n]
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def pairwise_rotated_iou_host(boxes1, boxes2) -> "np.ndarray":
+    """Host-friendly pairwise IoU with shape bucketing.
+
+    Eval matching calls this with a different (N, M) per image/class
+    (``test.py:135``); padding both dims to power-of-two buckets caps the
+    number of distinct XLA compilations at ~log² instead of unbounded.
+    """
+    import numpy as np
+
+    b1 = np.asarray(boxes1, np.float32)
+    b2 = np.asarray(boxes2, np.float32)
+    n, m = len(b1), len(b2)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.float32)
+    nb, mb = _bucket(n), _bucket(m)
+    p1 = np.zeros((nb, 5), np.float32)
+    p2 = np.zeros((mb, 5), np.float32)
+    # padding boxes are unit squares far away: harmless, non-degenerate
+    p1[:, :2] = 1e7
+    p1[:, 2:4] = 1.0
+    p2[:, :2] = -1e7
+    p2[:, 2:4] = 1.0
+    p1[:n] = b1
+    p2[:m] = b2
+    iou = pairwise_rotated_iou(jnp.asarray(p1), jnp.asarray(p2))
+    return np.asarray(iou)[:n, :m]
