@@ -71,7 +71,8 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
             axis=1,
         )
         order, keep = nms_rotated_masked(nms_boxes, top_scores, tvalid,
-                                         jnp.float32(iou_thres))
+                                         jnp.float32(iou_thres),
+                                         max_keep=max_det)
         # Compact kept rows (score order) into the first max_det slots:
         # rank = position among kept candidates; scatter (drop beyond cap).
         rank = jnp.where(keep, jnp.cumsum(keep) - 1, max_det)

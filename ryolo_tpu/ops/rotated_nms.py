@@ -2,13 +2,21 @@
 
 Replaces detectron2's CUDA ``nms_rotated`` (reference call site
 ``lib/general.py:177``) with an exact greedy suppression over a static-shape
-candidate set: the IoU matrix is computed once with the vectorized
-Sutherland–Hodgman kernel, and the inherently sequential greedy pass runs as
-a ``fori_loop`` of cheap K-vector updates on device.
+candidate set.
 
-Semantics match detectron2: candidates are processed in descending score
-order; a candidate is suppressed when its IoU with any *kept*
-higher-scoring candidate exceeds ``iou_threshold`` (strictly greater).
+Algorithm (memory-light, TPU-friendly): candidates sorted by score; a
+``fori_loop`` maintains a **kept-box buffer** of at most ``max_keep`` rows.
+Each step clips the current candidate against the kept set only —
+``O(K · max_keep)`` pair clips and ``O(max_keep)`` state instead of the
+``K × K`` IoU matrix (which at the reference's ``max_nms=5000`` cap would
+materialize GBs of Sutherland–Hodgman buffers and overrun HBM).
+
+Semantics match detectron2 exactly: descending-score order; a candidate is
+suppressed when IoU with any *kept* higher-scoring candidate is strictly
+greater than ``iou_threshold``.  Note greedy NMS never needs more than
+``max_keep`` kept boxes when the caller caps detections anyway
+(``max_det=1500``, ``lib/general.py:149``); a candidate arriving after the
+buffer is full is dropped exactly like the reference's post-NMS cap.
 """
 
 from __future__ import annotations
@@ -18,14 +26,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ryolo_tpu.ops.rotated_iou import pairwise_rotated_iou
+from ryolo_tpu.ops.rotated_iou import rotated_iou_pairs
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30  # python float: no device array at import time
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("max_keep",))
 def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
-                       iou_threshold: jax.Array):
+                       iou_threshold: jax.Array, max_keep: int = 1500):
     """Greedy rotated NMS on a fixed-size padded candidate set.
 
     Args:
@@ -33,33 +41,51 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
       scores: ``(K,)`` confidence scores.
       valid:  ``(K,)`` bool, False for padding rows.
       iou_threshold: scalar suppression threshold.
+      max_keep: static cap on kept boxes (the caller's ``max_det``).
 
     Returns:
-      order: ``(K,)`` int32 — candidate indices sorted by descending score
-        (padding pushed to the end).
-      keep:  ``(K,)`` bool — keep decision aligned with ``order``.
+      order: ``(K,)`` int32 — candidate indices sorted by descending score.
+      keep:  ``(K,)`` bool  — keep decision aligned with ``order`` (at most
+        ``max_keep`` True entries).
 
-    ``boxes[order[keep]]`` (in order) reproduces detectron2's
-    ``nms_rotated`` output ordering.
+    ``order[keep]`` (in order) reproduces detectron2's ``nms_rotated``
+    output ordering capped at ``max_keep``.
     """
     k = scores.shape[0]
     if k == 0:  # static shape: nothing to suppress
         return jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool)
+    m = min(max_keep, k)
+
     sort_scores = jnp.where(valid, scores, NEG_INF)
     order = jnp.argsort(-sort_scores).astype(jnp.int32)
-    sboxes = boxes[order]
+    sboxes = boxes[order].astype(jnp.float32)
     svalid = valid[order]
 
-    iou = pairwise_rotated_iou(sboxes, sboxes)  # (K, K)
-    suppress = iou > iou_threshold  # strict, per detectron2
+    def body(i, carry):
+        kept_boxes, kept_valid, count, keep = carry
+        box = jax.lax.dynamic_slice_in_dim(sboxes, i, 1, 0)  # (1, 5)
+        iou = rotated_iou_pairs(box, kept_boxes)  # (m,)
+        hit = jnp.any(kept_valid & (iou > iou_threshold))
+        keep_i = svalid[i] & jnp.logical_not(hit) & (count < m)
+        slot = jnp.where(keep_i, count, m)  # OOB -> dropped
+        kept_boxes = jax.lax.cond(
+            keep_i,
+            lambda kb: jax.lax.dynamic_update_slice_in_dim(kb, box, slot, 0),
+            lambda kb: kb,
+            kept_boxes,
+        )
+        kept_valid = kept_valid.at[slot].set(True, mode="drop")
+        count = count + keep_i.astype(jnp.int32)
+        keep = keep.at[i].set(keep_i)
+        return kept_boxes, kept_valid, count, keep
 
-    def body(i, keep):
-        # Suppressed iff any kept higher-score candidate overlaps too much.
-        hit = jnp.any(keep & suppress[:, i])
-        keep_i = svalid[i] & jnp.logical_not(hit)
-        return keep.at[i].set(keep_i)
-
-    keep = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    init = (
+        jnp.zeros((m, 5), jnp.float32),
+        jnp.zeros((m,), bool),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((k,), bool),
+    )
+    _, _, _, keep = jax.lax.fori_loop(0, k, body, init)
     return order, keep
 
 
@@ -67,8 +93,8 @@ def nms_rotated(boxes, scores, iou_threshold: float):
     """Eager convenience wrapper mirroring detectron2's ``nms_rotated`` API.
 
     Returns kept indices (into the input arrays) sorted by descending score,
-    as a dynamically-sized numpy-backed array — use :func:`nms_rotated_masked`
-    inside jitted pipelines.
+    as a dynamically-sized array — use :func:`nms_rotated_masked` inside
+    jitted pipelines.
     """
     import numpy as np
 

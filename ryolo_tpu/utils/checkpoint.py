@@ -338,3 +338,43 @@ def load_pth(path: str):
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Native full-training-state checkpoints (resume support the reference lacks:
+# SURVEY.md §5.3 — reference training always restarts at epoch 0 because
+# only model.state_dict() is saved).
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(state, meta: dict, path: str):
+    """Serialize a TrainState (params, batch_stats, optimizer, accumulator)
+    plus a small metadata dict (epoch, best_fitness, ...) to one file."""
+    import json
+
+    from flax import serialization
+
+    blob = serialization.to_bytes(state)
+    with open(path, "wb") as f:
+        header = json.dumps(meta).encode()
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+
+
+def load_train_state(template_state, path: str):
+    """Restore a TrainState saved by :func:`save_train_state`.
+
+    ``template_state`` provides the pytree structure (build it exactly as at
+    cold start).  Returns ``(state, meta)``.
+    """
+    import json
+
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(n).decode())
+        blob = f.read()
+    state = serialization.from_bytes(template_state, blob)
+    return state, meta

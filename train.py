@@ -84,7 +84,12 @@ class Train:
         nc = len(data["names"])
         csl = args.mode == "csl"
 
-        self.check_model_path()
+        if args.resume:
+            if not os.path.isdir(self.model_path):
+                logger.error(f"--resume: no run directory {self.model_path}")
+                sys.exit(1)
+        else:
+            self.check_model_path()
         save_opts(self.model_path, args, config)
         tb = Logger(os.path.join(self.model_path, "logs"))
 
@@ -124,6 +129,21 @@ class Train:
         trainer = Trainer(model, loss_fn, args.optimizer, args.lr)
         state = trainer.init_state(variables)
 
+        start_epoch = 0
+        best_fitness = -1.0
+        resume_path = os.path.join(self.model_path, "last.state")
+        if args.resume:
+            from ryolo_tpu.utils.checkpoint import load_train_state
+
+            if not os.path.isfile(resume_path):
+                logger.error(f"--resume: {resume_path} not found "
+                             "(run was saved before resume support?)")
+                sys.exit(1)
+            state, meta = load_train_state(state, resume_path)
+            start_epoch = meta["epoch"] + 1
+            best_fitness = meta.get("best_fitness", -1.0)
+            logger.info(f"Resumed from {resume_path} at epoch {start_epoch}")
+
         accumulate = max(round(NBS / args.batch_size), 1)  # train.py:151
         nw = max(int(args.epochs * iters_per_epoch * hyp_cfg["warmup_prop"]),
                  1000)  # train.py:160
@@ -132,8 +152,7 @@ class Train:
         logger.info(f"Image sizes {args.img_size}")
         logger.info(f"Starting training for {args.epochs} epochs...")
 
-        best_fitness = -1.0
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
             total_train_loss = {}
 
@@ -167,10 +186,21 @@ class Train:
                     k: jnp.asarray(v)
                     for k, v in batch.items() if k != "paths"
                 }
-                state, loss, items = trainer.train_step(
-                    state, device_batch, jnp.float32(lr_now),
-                    jnp.int32(acc_now),
-                )
+                if args.profile and epoch == start_epoch and batch_i == 1:
+                    # one profiled step (skip step 0 = compile)
+                    with jax.profiler.trace(
+                        os.path.join(self.model_path, "profile")
+                    ):
+                        state, loss, items = trainer.train_step(
+                            state, device_batch, jnp.float32(lr_now),
+                            jnp.int32(acc_now),
+                        )
+                        jax.block_until_ready(state.params)
+                else:
+                    state, loss, items = trainer.train_step(
+                        state, device_batch, jnp.float32(lr_now),
+                        jnp.int32(acc_now),
+                    )
 
                 if first:
                     header += "".join("%12s" % k for k in items)
@@ -215,6 +245,12 @@ class Train:
                 logger.info("Current best model is saved!")
             save_pth(variables, args.ver,
                      os.path.join(self.model_path, "last.pth"))
+            from ryolo_tpu.utils.checkpoint import save_train_state
+
+            save_train_state(
+                state, {"epoch": epoch, "best_fitness": float(best_fitness)},
+                os.path.join(self.model_path, "last.state"),
+            )
 
         logger.info("Done!")
 
@@ -240,6 +276,10 @@ def build_parser():
                         help="static per-image target capacity")
     parser.add_argument("--yes", action="store_true",
                         help="overwrite existing model dir without prompting")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from weights/<model_name>/last.state")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of one train step")
     return parser
 
 
