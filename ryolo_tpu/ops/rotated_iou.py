@@ -9,12 +9,16 @@ degrees right before calling detectron2 — ``lib/general.py:174``,
 ``test.py:127-128`` — so this op keeps the same input contract.)
 
 Algorithm: Sutherland–Hodgman clipping of rectangle A's 4-gon by the four
-half-planes of rectangle B, carried out entirely on fixed-size vertex buffers
-(max 8 vertices — the exact upper bound for the intersection of two convex
-quadrilaterals), so the whole computation is static-shape, branch-free, and
-vectorizes over arbitrary batch dimensions on the VPU.  Compaction of emitted
-vertices uses a tiny 16-key argsort rather than scatter, which lowers to a
-fast fixed-width sorting network.
+half-planes of rectangle B, on a **fixed 8-vertex duplicate-fill ring**:
+
+  * the polygon always occupies all 8 slots; unused slots repeat the last
+    vertex, so "next vertex" is a static roll (no mod-count gathers), the
+    closing edge is slot 7 -> slot 0, and duplicates contribute zero to both
+    crossing tests and the shoelace sum;
+  * each clip emits <= 16 candidate points whose compacted ring positions
+    are recovered with a prefix-sum + one-hot contraction — pure FMA work,
+    no per-pair sort or scatter, so the same math lowers cleanly to the VPU
+    (and to Pallas) and vectorizes over arbitrary batch shapes.
 """
 
 from __future__ import annotations
@@ -24,15 +28,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_MAX_VERTS = 8  # convex quad ∩ convex quad has at most 8 vertices
+_V = 8  # convex quad ∩ convex quad has at most 8 vertices
 
 
 def box_to_corners(boxes: jax.Array) -> jax.Array:
     """``(..., 5)`` (cx, cy, w, h, angle_deg) -> corners ``(..., 4, 2)``.
 
     detectron2 layout: local x extent = w, local y extent = h, rotated by
-    ``angle`` degrees.  Corner winding is consistent (a rotated CCW order);
-    only consistency matters for the clipping below.
+    ``angle`` degrees.  Corner winding is consistent; only consistency
+    matters for the clipping below.
     """
     cx, cy, w, h, a = jnp.split(boxes, 5, axis=-1)
     t = a * (jnp.pi / 180.0)
@@ -44,84 +48,109 @@ def box_to_corners(boxes: jax.Array) -> jax.Array:
     return jnp.concatenate([px, py], axis=-1)  # (..., 4, 2)
 
 
-def _clip_by_halfplane(poly, cnt, edge_p, edge_n):
-    """One Sutherland–Hodgman clip step on fixed-size buffers.
+_EPS_INSIDE = 1e-4  # px; tolerance for on-edge vertices (see below)
 
-    poly: ``(..., 8, 2)`` vertex buffer, first ``cnt`` entries valid.
-    cnt:  ``(...,)`` int32 valid-vertex count.
-    edge_p / edge_n: a point on the clip line and its inward normal
-    (``(..., 2)`` each).  Keeps the half-plane ``dot(x - p, n) >= 0``.
+
+def _clip_ring(px, py, p0x, p0y, nx, ny):
+    """One S–H clip of a duplicate-fill 8-ring against a half-plane.
+
+    px, py: ``(8, ...)`` vertex ring; p0*/n*: point on the clip line and its
+    inward **unit** normal, ``(...,)``.  Returns the clipped ``(8, ...)``
+    ring.  Vertices within ``_EPS_INSIDE`` of the line count as inside —
+    identical/touching rectangles are numerically knife-edge (a corner's
+    signed distance may come out at ±1e-6 depending on op ordering) and the
+    tolerance keeps such pairs exact instead of collapsing to half-area.
     """
-    V = _MAX_VERTS
-    idx = jnp.arange(V, dtype=jnp.int32)
-    valid = idx < cnt[..., None]  # (..., 8)
+    d = (px - p0x) * nx + (py - p0y) * ny  # (8, ...), in length units
+    nxt_px = jnp.roll(px, -1, axis=0)
+    nxt_py = jnp.roll(py, -1, axis=0)
+    d_nxt = jnp.roll(d, -1, axis=0)
 
-    d = jnp.sum((poly - edge_p[..., None, :]) * edge_n[..., None, :], axis=-1)
-    nxt = jnp.mod(idx + 1, jnp.maximum(cnt[..., None], 1))
-    poly_nxt = jnp.take_along_axis(poly, nxt[..., None], axis=-2)
-    d_nxt = jnp.take_along_axis(d, nxt, axis=-1)
-
-    cur_in = d >= 0
-    nxt_in = d_nxt >= 0
-
+    # Skip duplicate-fill vertices (exact copies of their predecessor): with
+    # dedup the emission count is provably <= 8, so no candidate can be
+    # pushed past the ring capacity.
+    dup = (px == jnp.roll(px, 1, axis=0)) & (py == jnp.roll(py, 1, axis=0))
+    inside = d >= -_EPS_INSIDE
+    inside_nxt = d_nxt >= -_EPS_INSIDE
+    cur_in = inside & jnp.logical_not(dup)
+    crossing = inside ^ inside_nxt
     denom = d - d_nxt
-    t = jnp.where(jnp.abs(denom) > 1e-14, d / jnp.where(denom == 0, 1.0, denom), 0.0)
-    inter = poly + t[..., None] * (poly_nxt - poly)
+    t = jnp.where(crossing, d / jnp.where(denom == 0, 1.0, denom), 0.0)
+    ix = px + t * (nxt_px - px)
+    iy = py + t * (nxt_py - py)
 
-    # Two emission slots per input vertex: [vertex-if-inside, crossing-point].
-    emit_v = valid & cur_in
-    emit_x = valid & (cur_in ^ nxt_in)
-    pts = jnp.stack([poly, inter], axis=-2).reshape(*poly.shape[:-2], 2 * V, 2)
-    flags = jnp.stack([emit_v, emit_x], axis=-1).reshape(*emit_v.shape[:-1], 2 * V)
+    # Interleaved emission: slot 2i = vertex-if-inside, 2i+1 = crossing.
+    emit = jnp.stack([cur_in, crossing], axis=1).reshape(
+        (2 * _V,) + d.shape[1:]
+    ).astype(px.dtype)
+    ex = jnp.stack([px, ix], axis=1).reshape(emit.shape)
+    ey = jnp.stack([py, iy], axis=1).reshape(emit.shape)
 
-    # Stable compaction without scatter: unique sort keys put emitted slots
-    # first, in original order.  16-wide sort -> fixed sorting network.
-    slot = jnp.arange(2 * V, dtype=jnp.int32)
-    keys = jnp.where(flags, slot, slot + 2 * V)
-    order = jnp.argsort(keys, axis=-1)[..., :V]
-    out_poly = jnp.take_along_axis(pts, order[..., None], axis=-2)
-    out_cnt = jnp.sum(flags, axis=-1).astype(jnp.int32)  # provably <= 8
-    return out_poly, out_cnt
+    # Ring positions via prefix sum; compact via one-hot contraction.
+    pos = jnp.cumsum(emit, axis=0) - emit  # position of slot i if emitted
+    count = pos[-1] + emit[-1]             # (...,) number emitted (float)
+
+    out_x = []
+    out_y = []
+    lastsel = emit * (pos == jnp.maximum(count - 1.0, 0.0)).astype(px.dtype)
+    last_x = jnp.sum(ex * lastsel, axis=0)
+    last_y = jnp.sum(ey * lastsel, axis=0)
+    for j in range(_V):
+        sel = emit * (pos == float(j)).astype(px.dtype)
+        vx = jnp.sum(ex * sel, axis=0)
+        vy = jnp.sum(ey * sel, axis=0)
+        use = count > float(j)
+        out_x.append(jnp.where(use, vx, last_x))
+        out_y.append(jnp.where(use, vy, last_y))
+    return jnp.stack(out_x, 0), jnp.stack(out_y, 0)
 
 
-def _polygon_area(poly, cnt):
-    """Shoelace area of the first ``cnt`` vertices (any winding)."""
-    V = _MAX_VERTS
-    idx = jnp.arange(V, dtype=jnp.int32)
-    valid = idx < cnt[..., None]
-    nxt = jnp.mod(idx + 1, jnp.maximum(cnt[..., None], 1))
-    p2 = jnp.take_along_axis(poly, nxt[..., None], axis=-2)
-    cross = poly[..., 0] * p2[..., 1] - poly[..., 1] * p2[..., 0]
-    return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0), axis=-1))
+def _ring_area(px, py):
+    """Shoelace over the closed 8-ring (duplicates contribute zero)."""
+    nx_ = jnp.roll(px, -1, axis=0)
+    ny_ = jnp.roll(py, -1, axis=0)
+    return 0.5 * jnp.abs(jnp.sum(px * ny_ - py * nx_, axis=0))
 
 
 def rotated_rect_intersection_area(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
     """Exact intersection area of paired rotated rects ``(..., 5)`` (degrees)."""
     boxes1, boxes2 = jnp.broadcast_arrays(boxes1, boxes2)
-    poly = box_to_corners(boxes1)  # (..., 4, 2)
-    pad = jnp.zeros(poly.shape[:-2] + (_MAX_VERTS - 4, 2), poly.dtype)
-    poly = jnp.concatenate([poly, pad], axis=-2)
-    cnt = jnp.full(poly.shape[:-2], 4, dtype=jnp.int32)
+    # Center on box2: kills catastrophic cancellation at large coordinates
+    # (the class-offset NMS trick shifts centers by cls*4096,
+    # lib/general.py:171-173).
+    shift = jnp.concatenate(
+        [boxes2[..., 0:2], jnp.zeros_like(boxes2[..., 2:])], axis=-1
+    )
+    corners = box_to_corners(boxes1 - shift)  # (..., 4, 2)
+    # duplicate-fill ring, vertex-major layout (8, ...)
+    idx = [0, 1, 2, 3, 3, 3, 3, 3]
+    px = jnp.moveaxis(corners[..., idx, 0], -1, 0)
+    py = jnp.moveaxis(corners[..., idx, 1], -1, 0)
 
-    clip_c = box_to_corners(boxes2)  # (..., 4, 2)
-    center2 = boxes2[..., 0:2]
+    clip_c = box_to_corners(boxes2 - shift)  # (..., 4, 2), centered at 0
     for e in range(4):
-        p0 = clip_c[..., e, :]
-        p1 = clip_c[..., (e + 1) % 4, :]
-        edge = p1 - p0
-        n = jnp.stack([-edge[..., 1], edge[..., 0]], axis=-1)
-        # Orient the normal inward (toward the clip rect's center).
-        sgn = jnp.sign(jnp.sum((center2 - p0) * n, axis=-1, keepdims=True))
-        n = n * jnp.where(sgn == 0, 1.0, sgn)
-        poly, cnt = _clip_by_halfplane(poly, cnt, p0, n)
-    return _polygon_area(poly, cnt)
+        p0x = clip_c[..., e, 0]
+        p0y = clip_c[..., e, 1]
+        p1x = clip_c[..., (e + 1) % 4, 0]
+        p1y = clip_c[..., (e + 1) % 4, 1]
+        ex_ = p1x - p0x
+        ey_ = p1y - p0y
+        inv_len = jax.lax.rsqrt(jnp.maximum(ex_ * ex_ + ey_ * ey_, 1e-12))
+        nx = -ey_ * inv_len
+        ny = ex_ * inv_len
+        # Orient the unit normal inward (toward the clip rect's center, 0).
+        sgn = jnp.sign((0.0 - p0x) * nx + (0.0 - p0y) * ny)
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        px, py = _clip_ring(px, py, p0x, p0y, nx * sgn, ny * sgn)
+    return _ring_area(px, py)
 
 
 def rotated_iou_pairs(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
-    """Elementwise IoU of two equal-shaped sets of rotated boxes ``(..., 5)``."""
+    """Elementwise IoU of two broadcast-compatible sets of rotated boxes."""
     b1 = boxes1.astype(jnp.float32)
     b2 = boxes2.astype(jnp.float32)
     inter = rotated_rect_intersection_area(b1, b2)
+    b1, b2 = jnp.broadcast_arrays(b1, b2)
     a1 = b1[..., 2] * b1[..., 3]
     a2 = b2[..., 2] * b2[..., 3]
     union = a1 + a2 - inter
@@ -135,8 +164,8 @@ def pairwise_rotated_iou(boxes1: jax.Array, boxes2: jax.Array,
 
     Drop-in equivalent of detectron2's ``pairwise_iou_rotated``
     (``test.py:135``).  Row-tiling bounds the live intermediate buffers at
-    ``row_block × M × 8 × 2`` so N=M=5000 eval workloads stay well under VMEM
-    pressure and HBM spikes.
+    ``row_block × M`` pairs so large eval workloads stay under memory
+    pressure.
     """
     n = boxes1.shape[0]
     m = boxes2.shape[0]
