@@ -33,6 +33,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ryolo_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ryolo_tpu.eval.postprocess import post_process_fixed
     from ryolo_tpu.nn import Yolo
 
@@ -43,27 +47,32 @@ def main():
     }
     model = Yolo(n_classes=NC, model_config=cfg, mode="csl", ver="yolov7",
                  dtype=jnp.bfloat16)
-    img = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    # init at a tiny size: conv/BN param shapes are image-size independent,
+    # and eager init at 800px costs minutes on this host
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           train=False)
 
     @jax.jit
     def detect_step(images):
         _, decoded = model.apply(variables, images, train=False, decode=True)
         dets, valid = post_process_fixed(decoded, 0.7, 0.2)
-        return dets, valid
+        # checksum feeds the next iteration's input: serializes iterations
+        # so async dispatch / remote-runtime caching cannot elide work
+        return dets, valid, jnp.sum(dets) * 1e-12
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.uniform(0, 1, (BATCH, IMG, IMG, 3)),
                         jnp.float32)
 
     # warmup + compile
-    d, v = detect_step(batch)
+    d, v, chk = detect_step(batch)
     jax.block_until_ready((d, v))
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        d, v = detect_step(batch)
+        d, v, chk = detect_step(batch + chk)
     jax.block_until_ready((d, v))
     dt = time.perf_counter() - t0
 

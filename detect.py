@@ -47,7 +47,7 @@ class Detect:
 
         model = Yolo(n_classes=nc, model_config=config["model"],
                      mode=args.mode, ver=args.ver)
-        sample = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
+        sample = jnp.zeros((1, 64, 64, 3), jnp.float32)  # size-independent init
         variables = dict(model.init(jax.random.PRNGKey(0), sample,
                                     train=False))
         variables, n = import_state_dict(load_pth(args.weight_path), variables)

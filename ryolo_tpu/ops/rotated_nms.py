@@ -31,9 +31,10 @@ from ryolo_tpu.ops.rotated_iou import rotated_iou_pairs
 NEG_INF = -1e30  # python float: no device array at import time
 
 
-@functools.partial(jax.jit, static_argnames=("max_keep",))
+@functools.partial(jax.jit, static_argnames=("max_keep", "chunk"))
 def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
-                       iou_threshold: jax.Array, max_keep: int = 1500):
+                       iou_threshold: jax.Array, max_keep: int = 1500,
+                       chunk: int = 64):
     """Greedy rotated NMS on a fixed-size padded candidate set.
 
     Args:
@@ -42,6 +43,10 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
       valid:  ``(K,)`` bool, False for padding rows.
       iou_threshold: scalar suppression threshold.
       max_keep: static cap on kept boxes (the caller's ``max_det``).
+      chunk: static chunk width — candidates are processed ``chunk`` at a
+        time so all Sutherland–Hodgman clipping runs as two *batched* IoU
+        blocks (chunk × kept-buffer and chunk × chunk); only O(1)-sized
+        boolean updates remain sequential.  Exact greedy semantics.
 
     Returns:
       order: ``(K,)`` int32 — candidate indices sorted by descending score.
@@ -55,38 +60,62 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     if k == 0:  # static shape: nothing to suppress
         return jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool)
     m = min(max_keep, k)
+    c = min(chunk, k)
+    k_pad = ((k + c - 1) // c) * c
 
     sort_scores = jnp.where(valid, scores, NEG_INF)
     order = jnp.argsort(-sort_scores).astype(jnp.int32)
-    sboxes = boxes[order].astype(jnp.float32)
-    svalid = valid[order]
+    sboxes = jnp.zeros((k_pad, 5), jnp.float32).at[:k].set(
+        boxes[order].astype(jnp.float32)
+    )
+    svalid = jnp.zeros((k_pad,), bool).at[:k].set(valid[order])
 
-    def body(i, carry):
+    def body(ci, carry):
         kept_boxes, kept_valid, count, keep = carry
-        box = jax.lax.dynamic_slice_in_dim(sboxes, i, 1, 0)  # (1, 5)
-        iou = rotated_iou_pairs(box, kept_boxes)  # (m,)
-        hit = jnp.any(kept_valid & (iou > iou_threshold))
-        keep_i = svalid[i] & jnp.logical_not(hit) & (count < m)
-        slot = jnp.where(keep_i, count, m)  # OOB -> dropped
-        kept_boxes = jax.lax.cond(
-            keep_i,
-            lambda kb: jax.lax.dynamic_update_slice_in_dim(kb, box, slot, 0),
-            lambda kb: kb,
-            kept_boxes,
-        )
+        start = ci * c
+        cboxes = jax.lax.dynamic_slice_in_dim(sboxes, start, c, 0)  # (c, 5)
+        cvalid = jax.lax.dynamic_slice_in_dim(svalid, start, c, 0)  # (c,)
+
+        # Batched suppression geometry: chunk vs kept buffer, chunk vs chunk.
+        iou_kept = rotated_iou_pairs(
+            cboxes[:, None, :], kept_boxes[None, :, :]
+        )  # (c, m)
+        sup_by_kept = jnp.any(
+            kept_valid[None, :] & (iou_kept > iou_threshold), axis=1
+        )  # (c,)
+        iou_self = rotated_iou_pairs(
+            cboxes[:, None, :], cboxes[None, :, :]
+        )  # (c, c)
+        sup_self = iou_self > iou_threshold  # (c, c)
+
+        # Sequential within-chunk pass: pure (c,)-vector boolean ops.
+        def inner(i, kc):
+            before = jax.lax.broadcasted_iota(jnp.int32, (c,), 0) < i
+            hit = jnp.any(kc & before & sup_self[:, i])
+            keep_i = cvalid[i] & ~sup_by_kept[i] & ~hit
+            return kc.at[i].set(keep_i)
+
+        keep_chunk = jax.lax.fori_loop(0, c, inner, jnp.zeros((c,), bool))
+        # enforce the kept-buffer capacity (score order within chunk)
+        rank = count + jnp.cumsum(keep_chunk) - keep_chunk.astype(jnp.int32)
+        keep_chunk = keep_chunk & (rank < m)
+
+        # Append kept chunk rows to the buffer.
+        slot = jnp.where(keep_chunk, rank, m)  # OOB -> dropped
+        kept_boxes = kept_boxes.at[slot].set(cboxes, mode="drop")
         kept_valid = kept_valid.at[slot].set(True, mode="drop")
-        count = count + keep_i.astype(jnp.int32)
-        keep = keep.at[i].set(keep_i)
+        count = count + jnp.sum(keep_chunk, dtype=jnp.int32)
+        keep = jax.lax.dynamic_update_slice_in_dim(keep, keep_chunk, start, 0)
         return kept_boxes, kept_valid, count, keep
 
     init = (
         jnp.zeros((m, 5), jnp.float32),
         jnp.zeros((m,), bool),
         jnp.zeros((), jnp.int32),
-        jnp.zeros((k,), bool),
+        jnp.zeros((k_pad,), bool),
     )
-    _, _, _, keep = jax.lax.fori_loop(0, k, body, init)
-    return order, keep
+    _, _, _, keep = jax.lax.fori_loop(0, k_pad // c, body, init)
+    return order, keep[:k]
 
 
 def nms_rotated(boxes, scores, iou_threshold: float):

@@ -42,7 +42,7 @@ class Test:
 
         model = Yolo(n_classes=nc, model_config=model_cfg, mode=args.mode,
                      ver=args.ver)
-        sample = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
+        sample = jnp.zeros((1, 64, 64, 3), jnp.float32)  # size-independent init
         variables = dict(model.init(jax.random.PRNGKey(0), sample,
                                     train=False))
         variables, n = import_state_dict(load_pth(args.weight_path), variables)

@@ -96,8 +96,8 @@ class Train:
         model = Yolo(n_classes=nc, model_config=model_cfg, mode=args.mode,
                      ver=args.ver)
         rngs = jax.random.PRNGKey(42)
-        sample = jnp.zeros((args.batch_size, args.img_size, args.img_size, 3),
-                           jnp.float32)
+        # init at a tiny image: param/stat shapes are image-size independent
+        sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
         variables = dict(model.init(rngs, sample, train=False))
         variables["params"] = weights_init_normal(
             variables["params"], jax.random.PRNGKey(0)
