@@ -52,6 +52,20 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3), jnp.float32),
                            train=False)
+    # Random weights fire ~2000 false detections/image above conf 0.7,
+    # which benchmarks a workload no trained detector produces.  Bias the
+    # objectness channels to a converged detector's background response so
+    # the post-process load is realistic (a few boxes per image).
+    import flax
+
+    params = flax.core.unfreeze(variables["params"]) if hasattr(
+        flax.core, "unfreeze") else dict(variables["params"])
+    nf = NC + 185
+    for head in ("conv5", "conv6", "conv7"):
+        b = params["neck"][head]["conv"]["bias"]
+        idx = np.arange(3) * nf + 4  # obj channel per anchor
+        params["neck"][head]["conv"]["bias"] = b.at[jnp.asarray(idx)].set(-6.0)
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
 
     @jax.jit
     def detect_step(images):

@@ -89,7 +89,6 @@ class Detect:
             logger.info("-----------------------------------")
 
             for path, box in zip(paths, boxes):
-                # reorder [x,y,w,h,θ,conf,cls] rows for plotting (conf, cls)
                 plot_boxes(path, box, data["names"], args.img_size,
                            save_folder)
 

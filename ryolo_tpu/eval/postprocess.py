@@ -70,9 +70,10 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
             ],
             axis=1,
         )
+        # top_k output is already descending with padding last
         order, keep = nms_rotated_masked(nms_boxes, top_scores, tvalid,
                                          jnp.float32(iou_thres),
-                                         max_keep=max_det)
+                                         max_keep=max_det, presorted=True)
         # Compact kept rows (score order) into the first max_det slots:
         # rank = position among kept candidates; scatter (drop beyond cap).
         rank = jnp.where(keep, jnp.cumsum(keep) - 1, max_det)

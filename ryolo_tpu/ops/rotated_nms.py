@@ -31,10 +31,11 @@ from ryolo_tpu.ops.rotated_iou import rotated_iou_pairs
 NEG_INF = -1e30  # python float: no device array at import time
 
 
-@functools.partial(jax.jit, static_argnames=("max_keep", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_keep", "chunk", "presorted"))
 def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
                        iou_threshold: jax.Array, max_keep: int = 1500,
-                       chunk: int = 64):
+                       chunk: int = 64, presorted: bool = False):
     """Greedy rotated NMS on a fixed-size padded candidate set.
 
     Args:
@@ -63,12 +64,19 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     c = min(chunk, k)
     k_pad = ((k + c - 1) // c) * c
 
-    sort_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-sort_scores).astype(jnp.int32)
-    sboxes = jnp.zeros((k_pad, 5), jnp.float32).at[:k].set(
-        boxes[order].astype(jnp.float32)
-    )
-    svalid = jnp.zeros((k_pad,), bool).at[:k].set(valid[order])
+    if presorted:
+        # caller guarantees descending score order with padding last
+        # (e.g. straight out of lax.top_k) — skip the 2nd large sort
+        order = jnp.arange(k, dtype=jnp.int32)
+        sorted_boxes = boxes.astype(jnp.float32)
+        sorted_valid = valid
+    else:
+        sort_scores = jnp.where(valid, scores, NEG_INF)
+        order = jnp.argsort(-sort_scores).astype(jnp.int32)
+        sorted_boxes = boxes[order].astype(jnp.float32)
+        sorted_valid = valid[order]
+    sboxes = jnp.zeros((k_pad, 5), jnp.float32).at[:k].set(sorted_boxes)
+    svalid = jnp.zeros((k_pad,), bool).at[:k].set(sorted_valid)
 
     def body(ci, carry):
         kept_boxes, kept_valid, count, keep = carry
@@ -114,7 +122,23 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
         jnp.zeros((), jnp.int32),
         jnp.zeros((k_pad,), bool),
     )
-    _, _, _, keep = jax.lax.fori_loop(0, k_pad // c, body, init)
+    # Candidates are score-sorted with padding last, so only the chunks that
+    # contain valid rows can contribute — a dynamic while_loop skips the
+    # rest (detect-mode workloads have few above-threshold candidates, so
+    # this turns 5000-cap NMS into ~1 chunk of work).
+    n_valid = jnp.sum(svalid, dtype=jnp.int32)
+    n_chunks = (n_valid + (c - 1)) // c
+
+    def cond(carry):
+        return carry[0] < n_chunks
+
+    def wrapped(carry):
+        ci, inner = carry
+        return ci + 1, body(ci, inner)
+
+    _, (_, _, _, keep) = jax.lax.while_loop(
+        cond, wrapped, (jnp.zeros((), jnp.int32), init)
+    )
     return order, keep[:k]
 
 
