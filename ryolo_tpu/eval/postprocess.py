@@ -48,50 +48,55 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
     B, N, _ = predictions.shape
     k = min(max_nms, N)
 
-    def per_image(pred):
-        obj = pred[:, 5:6]
-        cls_scores = pred[:, 6:] * obj
-        conf = jnp.max(cls_scores, axis=1)
-        cls_id = jnp.argmax(cls_scores, axis=1).astype(jnp.float32)
-        ok = conf > conf_thres
+    obj = predictions[..., 5]
+    cls_scores = predictions[..., 6:] * obj[..., None]
+    conf = jnp.max(cls_scores, axis=-1)
+    cls_id = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
+    sel = jnp.where(conf > conf_thres, conf, -1.0)
 
-        sel_scores = jnp.where(ok, conf, -1.0)
-        top_scores, top_idx = jax.lax.top_k(sel_scores, k)
-        tvalid = top_scores > 0.0  # only above-threshold rows
-        tboxes = pred[top_idx, :5]
-        tcls = cls_id[top_idx]
+    # Descending stable sort by score, carrying the box columns as sort
+    # payload.  A single variadic sort replaces top_k + a batched row
+    # gather — dynamic row gathers of this size are pathologically slow on
+    # TPU (~60 ms/batch measured), the sort is ~free.
+    payload = [predictions[..., i] for i in range(5)] + [cls_id]
+    sorted_all = jax.lax.sort([-sel] + payload, dimension=-1, num_keys=1,
+                              is_stable=True)
+    top_scores = -sorted_all[0][:, :k]
+    bx, by, bw, bh, bt, tcls = (o[:, :k] for o in sorted_all[1:])
+    tvalid = top_scores > 0.0  # only above-threshold rows
 
-        # class offset + degrees for suppression geometry
-        nms_boxes = jnp.concatenate(
-            [
-                tboxes[:, 0:2] + tcls[:, None] * MAX_WH,
-                tboxes[:, 2:4],
-                tboxes[:, 4:5] * (180.0 / jnp.pi),
-            ],
-            axis=1,
-        )
-        # top_k output is already descending with padding last
-        order, keep = nms_rotated_masked(nms_boxes, top_scores, tvalid,
-                                         jnp.float32(iou_thres),
-                                         max_keep=max_det, presorted=True)
-        # Compact kept rows (score order) into the first max_det slots:
-        # rank = position among kept candidates; scatter (drop beyond cap).
-        rank = jnp.where(keep, jnp.cumsum(keep) - 1, max_det)
-        src = jnp.zeros((max_det,), jnp.int32).at[rank].set(
-            jnp.arange(k, dtype=jnp.int32), mode="drop"
-        )
-        n_keep = jnp.minimum(jnp.sum(keep), max_det)
-        out_valid = jnp.arange(max_det) < n_keep
+    # class offset + degrees for suppression geometry (lib/general.py:171-174)
+    nms_boxes = jnp.stack(
+        [bx + tcls * MAX_WH, by + tcls * MAX_WH, bw, bh,
+         bt * (180.0 / jnp.pi)],
+        axis=-1,
+    )
 
-        rows = jnp.concatenate(
-            [tboxes, top_scores[:, None], tcls[:, None]], axis=1
-        )  # (k, 7) in top_idx (score-sorted) order
-        srows = rows[order]  # align with `keep`/`rank` positions
-        dets = srows[src]
-        dets = jnp.where(out_valid[:, None], dets, 0.0)
-        return dets, out_valid
+    def per_image(boxes_i, scores_i, valid_i):
+        _, keep = nms_rotated_masked(boxes_i, scores_i, valid_i,
+                                     jnp.float32(iou_thres),
+                                     max_keep=max_det, presorted=True)
+        return keep
 
-    return jax.vmap(per_image)(predictions)
+    keep = jax.vmap(per_image)(nms_boxes, top_scores, tvalid)  # (B, k)
+
+    # Compact kept rows into the first max_det slots with a second small
+    # sort (kept rows keep their score order; dropped rows sink).
+    comp_key = jnp.where(
+        keep, jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1), k
+    )
+    rows = [bx, by, bw, bh, bt, top_scores, tcls]
+    comp = jax.lax.sort([comp_key] + rows, dimension=-1, num_keys=1,
+                        is_stable=True)
+    md = min(max_det, k)
+    dets = jnp.stack([o[:, :md] for o in comp[1:]], axis=-1)
+    n_keep = jnp.minimum(jnp.sum(keep, axis=1), md)
+    out_valid = jnp.arange(md)[None, :] < n_keep[:, None]
+    dets = jnp.where(out_valid[..., None], dets, 0.0)
+    if md < max_det:  # keep the advertised (B, max_det) output shape
+        dets = jnp.pad(dets, ((0, 0), (0, max_det - md), (0, 0)))
+        out_valid = jnp.pad(out_valid, ((0, 0), (0, max_det - md)))
+    return dets, out_valid
 
 
 def post_process(predictions, conf_thres: float = 0.5,

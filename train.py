@@ -129,6 +129,17 @@ class Train:
         trainer = Trainer(model, loss_fn, args.optimizer, args.lr)
         state = trainer.init_state(variables)
 
+        mesh = None
+        if args.dp > 1:
+            from ryolo_tpu.parallel.mesh import make_mesh, replicate
+
+            if args.batch_size % args.dp:
+                logger.error("--dp must divide --batch_size")
+                sys.exit(1)
+            mesh = make_mesh(args.dp, sp=args.sp)
+            state = jax.device_put(state, replicate(mesh))
+            logger.info(f"Data-parallel over {args.dp} devices (sp={args.sp})")
+
         start_epoch = 0
         best_fitness = -1.0
         resume_path = os.path.join(self.model_path, "last.state")
@@ -182,10 +193,16 @@ class Train:
                 else:
                     acc_now, lr_now = accumulate, lr
 
-                device_batch = {
-                    k: jnp.asarray(v)
-                    for k, v in batch.items() if k != "paths"
-                }
+                if mesh is not None:
+                    from ryolo_tpu.parallel.mesh import shard_batch
+
+                    device_batch = shard_batch(batch, mesh,
+                                               spatial=args.sp > 1)
+                else:
+                    device_batch = {
+                        k: jnp.asarray(v)
+                        for k, v in batch.items() if k != "paths"
+                    }
                 if args.profile and epoch == start_epoch and batch_i == 1:
                     # one profiled step (skip step 0 = compile)
                     with jax.profiler.trace(
@@ -280,6 +297,10 @@ def build_parser():
                         help="resume from weights/<model_name>/last.state")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of one train step")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel mesh size (devices)")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="spatial sharding factor within the mesh")
     return parser
 
 
