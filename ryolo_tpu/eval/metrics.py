@@ -18,7 +18,25 @@ from typing import List, Sequence
 
 import numpy as np
 
-from ryolo_tpu.ops.rotated_iou import pairwise_rotated_iou_host
+def pairwise_rotated_iou_host(boxes1, boxes2):
+    """Small-matrix pairwise skew-IoU for the host matching loop.
+
+    Prefers the native C++ kernel: eval matching issues many tiny
+    (n_pred × n_tgt) calls per image/class, and a device dispatch costs a
+    tunnel round-trip (~20 ms) — far more than computing a few thousand
+    clips on the host.  Falls back to the bucketed XLA kernel if the
+    native library cannot build.
+    """
+    try:
+        from ryolo_tpu.ops.native import pairwise_rotated_iou_native
+
+        return pairwise_rotated_iou_native(boxes1, boxes2)
+    except Exception:
+        from ryolo_tpu.ops.rotated_iou import (
+            pairwise_rotated_iou_host as xla_host,
+        )
+
+        return xla_host(boxes1, boxes2)
 
 
 def compute_ap(recall, precision):
