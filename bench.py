@@ -45,8 +45,11 @@ def main():
                     [142, 110, 192, 243, 459, 401]],
         "angles": [-90, -60, -30, 0, 30, 60],
     }
+    # f32 measured faster than explicit bf16 on v5e here (24.2 vs
+    # 28.8 ms/batch device time): XLA already decomposes f32 convs into
+    # MXU bf16 passes, and explicit bf16 adds conversions.
     model = Yolo(n_classes=NC, model_config=cfg, mode="csl", ver="yolov7",
-                 dtype=jnp.bfloat16)
+                 dtype=jnp.float32)
     # init at a tiny size: conv/BN param shapes are image-size independent,
     # and eager init at 800px costs minutes on this host
     variables = model.init(jax.random.PRNGKey(0),
