@@ -54,7 +54,7 @@ class Detect:
         logger.info(f"Loaded {n} tensors from {args.weight_path}")
 
         @jax.jit
-        def infer(images):
+        def infer(variables, images):
             _, decoded = model.apply(variables, images, train=False,
                                      decode=True)
             return decoded
@@ -70,7 +70,7 @@ class Detect:
             images = jnp.asarray(np.stack([im for _, im in items]))
 
             t0 = time.time()
-            decoded = infer(images)
+            decoded = infer(variables, images)
             decoded.block_until_ready()
             t1 = time.time()
             dets, valid = post_process_fixed(

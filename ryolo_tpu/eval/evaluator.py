@@ -71,7 +71,7 @@ def evaluate(
     logger.info("Compute mAP...")
 
     @jax.jit
-    def forward(images):
+    def forward(variables, images):
         return model.apply(variables, images, train=False, decode=True)
 
     iouv = np.linspace(0.5, 0.95, 10)
@@ -95,7 +95,7 @@ def evaluate(
         seen += images.shape[0]
         n_batches += 1
 
-        outputs, decoded = forward(images)
+        outputs, decoded = forward(variables, images)
         if loss_fn is not None:
             _, loss_items = loss_fn(outputs, batch)
             for k, v in loss_items.items():
