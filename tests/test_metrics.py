@@ -1,0 +1,199 @@
+"""Pin the vectorized mAP stack to the reference's sequential semantics.
+
+Two layers of evidence:
+  * a randomized equivalence test of :func:`match_image_detections` against
+    a literal sequential greedy matcher (confidence-ordered first-claim with
+    early break — the /root/reference/test.py:121-145 algorithm, expressed
+    independently here as an oracle);
+  * direct numeric comparison of ``ap_per_class``/``compute_ap`` against the
+    reference's own numpy implementations imported from
+    ``/root/reference/test.py`` (torch + detectron2 stubbed).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from ryolo_tpu.eval.metrics import (
+    ap_per_class,
+    calculate_eval_stats,
+    compute_ap,
+    get_batch_statistics,
+    match_image_detections,
+    pairwise_rotated_iou_host,
+)
+
+IOUV = np.linspace(0.5, 0.95, 10)
+
+
+def _sequential_oracle(pred, tar, iouv):
+    """The reference matcher, run literally: visit predictions in order,
+    claim the argmax target if free, stop when every target is claimed."""
+    tp = np.zeros((len(pred), len(iouv)), bool)
+    claimed = set()
+    deg = np.array([1, 1, 1, 1, 180 / np.pi])
+    for cls in np.unique(tar[:, 0]):
+        pi = np.flatnonzero(pred[:, 6] == cls)
+        ti = np.flatnonzero(tar[:, 0] == cls)
+        if not pi.size:
+            continue
+        iou = pairwise_rotated_iou_host(pred[pi, :5] * deg,
+                                        tar[ti][:, 1:6] * deg)
+        for j in range(len(pi)):
+            row = iou[j]
+            b = int(row.argmax())
+            if row[b] > iouv[0] and ti[b] not in claimed:
+                claimed.add(ti[b])
+                tp[pi[j]] = row[b] > iouv
+                if len(claimed) == len(tar):
+                    break
+    return tp
+
+
+def _random_scene(rng, n_pred, n_tar, nc):
+    def boxes(n):
+        out = np.zeros((n, 5), np.float32)
+        out[:, 0:2] = rng.uniform(20, 200, (n, 2))
+        out[:, 2:4] = rng.uniform(8, 60, (n, 2))
+        out[:, 4] = rng.uniform(-np.pi / 2, np.pi / 2, n)
+        return out
+
+    pred = np.zeros((n_pred, 7), np.float32)
+    pred[:, :5] = boxes(n_pred)
+    pred[:, 5] = np.sort(rng.uniform(0.01, 1, n_pred))[::-1]
+    pred[:, 6] = rng.integers(0, nc, n_pred)
+    tar = np.zeros((n_tar, 6), np.float32)
+    tar[:, 0] = rng.integers(0, nc, n_tar)
+    tar[:, 1:6] = boxes(n_tar)
+    # plant overlaps so matching actually happens: every 2nd pred sits on a
+    # random target with jitter (creates contested argmax targets too)
+    for j in range(0, n_pred, 2):
+        if n_tar:
+            t = tar[rng.integers(0, n_tar)]
+            pred[j, :5] = t[1:6] + rng.normal(0, 2, 5) * [1, 1, 1, 1, 0.02]
+            pred[j, 6] = t[0]
+    return pred, tar
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_matcher_equals_sequential_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n_pred = int(rng.integers(0, 40))
+    n_tar = int(rng.integers(0, 12))
+    pred, tar = _random_scene(rng, n_pred, n_tar, nc=3)
+    got = match_image_detections(pred, tar, IOUV)
+    want = _sequential_oracle(pred, tar, IOUV)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_matcher_contested_target_first_claim_wins():
+    # Two same-class predictions over ONE target: only the higher-confidence
+    # (earlier) one may be a TP.
+    tar = np.array([[0, 100, 100, 40, 20, 0.3]], np.float32)
+    pred = np.array([
+        [100, 100, 40, 20, 0.3, 0.9, 0],
+        [101, 100, 40, 20, 0.3, 0.8, 0],
+    ], np.float32)
+    tp = match_image_detections(pred, tar, IOUV)
+    assert tp[0, 0] and not tp[1].any()
+
+
+def test_matcher_class_mismatch_never_matches():
+    tar = np.array([[1, 100, 100, 40, 20, 0.0]], np.float32)
+    pred = np.array([[100, 100, 40, 20, 0.0, 0.9, 0]], np.float32)
+    assert not match_image_detections(pred, tar, IOUV).any()
+
+
+def _reference_test_module():
+    for name in ("detectron2", "detectron2.layers",
+                 "detectron2.layers.rotated_boxes", "detectron2.layers.nms"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["detectron2.layers.rotated_boxes"].pairwise_iou_rotated = None
+    sys.modules["detectron2.layers.nms"].nms_rotated = None
+    if "/root/reference" in sys.path:
+        sys.path.remove("/root/reference")
+    sys.path.insert(0, "/root/reference")
+    for name in list(sys.modules):
+        if name.split(".")[0] in ("datasets", "lib", "model"):
+            sys.modules.pop(name)
+    # the reference's datasets/ has no __init__.py, so the site-packages
+    # `datasets` (a regular package) would win over it — pre-register a
+    # package module pointing at the reference directory
+    ref_datasets = types.ModuleType("datasets")
+    ref_datasets.__path__ = ["/root/reference/datasets"]
+    sys.modules["datasets"] = ref_datasets
+    if "colorlog" not in sys.modules:
+        import logging
+
+        colorlog = types.ModuleType("colorlog")
+        colorlog.ColoredFormatter = (
+            lambda fmt=None, **kw: logging.Formatter()
+        )
+        sys.modules["colorlog"] = colorlog
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_eval",
+                                                  "/root/reference/test.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ap_matches_reference_implementation():
+    pytest.importorskip("torch")
+    ref = _reference_test_module()
+    rng = np.random.default_rng(11)
+    n = 200
+    tp = rng.uniform(0, 1, (n, 10)) < np.linspace(0.6, 0.1, 10)
+    tp = np.sort(tp, 1)[:, ::-1]  # monotone over thresholds, like real TPs
+    conf = rng.uniform(0, 1, n)
+    pred_cls = rng.integers(0, 4, n).astype(np.float64)
+    target_cls = np.concatenate([rng.integers(0, 4, 60), [4]]).astype(
+        np.float64
+    )  # class 4 has labels but no predictions
+
+    p, r, ap, f1, cls = ap_per_class(tp, conf, pred_cls, target_cls)
+    rp, rr, rap, rf1, rcls = ref.ap_per_class(tp.copy(), conf.copy(),
+                                              pred_cls.copy(),
+                                              target_cls.copy())
+    np.testing.assert_array_equal(cls, rcls)
+    np.testing.assert_allclose(ap, rap, atol=1e-10)
+    np.testing.assert_allclose(p, rp, atol=1e-9)
+    np.testing.assert_allclose(r, rr, atol=1e-9)
+    np.testing.assert_allclose(f1, rf1, atol=1e-9)
+
+    # compute_ap alone, single curve
+    rec = np.sort(rng.uniform(0, 0.9, 50))
+    prec = np.clip(1 - rec + rng.normal(0, 0.05, 50), 0, 1)
+    want_ap, _, _ = ref.compute_ap(rec, prec)
+    np.testing.assert_allclose(compute_ap(rec, prec), [want_ap], atol=1e-12)
+
+
+def test_calculate_eval_stats_matches_reference():
+    pytest.importorskip("torch")
+    ref = _reference_test_module()
+    rng = np.random.default_rng(5)
+    outputs = []
+    targets = []
+    for img in range(6):
+        n_pred = int(rng.integers(0, 12))
+        n_tar = int(rng.integers(0, 6))
+        pred, tar = _random_scene(rng, n_pred, n_tar, nc=3)
+        outputs.append(pred)
+        rows = np.zeros((n_tar, 7), np.float32)
+        rows[:, 0] = img
+        rows[:, 1:] = tar
+        targets.append(rows)
+    targets = (np.concatenate(targets, 0) if targets else
+               np.zeros((0, 7), np.float32))
+
+    stats = get_batch_statistics(outputs, targets, IOUV, len(IOUV))
+    cat = [np.concatenate(x, 0) for x in zip(*stats)]
+    got = calculate_eval_stats(cat, 3)
+    want = ref.calculate_eval_stats([c.copy() for c in cat], 3)
+    # (nt, p, r, ap50, ap, f1, ap_class, mp, mr, map50, map)
+    np.testing.assert_array_equal(got[0], want[0])
+    for g, w in zip(got[7:], want[7:]):
+        np.testing.assert_allclose(g, w, atol=1e-9)
