@@ -69,6 +69,75 @@ def xywha_to_polys_np(boxes: np.ndarray) -> np.ndarray:
     return np.stack([px, py], -1)
 
 
+def _anchored_span(anchor: int, extent: int, limit: int, forward: bool):
+    """1-D placement of an image side against a canvas.
+
+    The side (length ``extent``) is anchored at canvas coordinate
+    ``anchor`` and grows forward or backward, clipped to ``[0, limit]``.
+    Returns ``(c1, c2, s1, s2)``: the canvas span and the matching source
+    span inside the image (clipping trims the far-from-anchor edge of the
+    canvas span and therefore the far edge of the source).
+    """
+    if forward:
+        c1, c2 = anchor, min(anchor + extent, limit)
+        s1, s2 = 0, c2 - c1
+    else:
+        c1, c2 = max(anchor - extent, 0), anchor
+        s1, s2 = extent - (c2 - c1), extent
+    return c1, c2, s1, s2
+
+
+def mosaic4_spans(i: int, xc: int, yc: int, w: int, h: int, s: int):
+    """Quadrant placement for the 4-mosaic.
+
+    Tile ``i`` occupies the quadrant ``(i & 1)`` right / ``(i >> 1)`` down
+    of the mosaic center ``(xc, yc)`` on the 2s×2s canvas, with the corner
+    touching the center anchored exactly there.  Same placements as
+    ``base_dataset.py:251-265`` (quadrant case table), derived instead of
+    enumerated.
+    """
+    x = _anchored_span(xc, w, 2 * s, forward=bool(i & 1))
+    y = _anchored_span(yc, h, 2 * s, forward=bool(i >> 1))
+    return x, y
+
+
+def mosaic9_box(i: int, size, base, prev, s: int):
+    """Unclipped canvas box for tile ``i`` of the 9-mosaic ring.
+
+    The first tile sits at the canvas center cell ``[s, s]..[s+w0, s+h0]``;
+    the other eight wrap clockwise around it (top, top-right, right,
+    bottom-right, bottom, bottom-left, left, top-left).  Each tile anchors
+    one corner on the center tile's edge frame — offset along that edge by
+    the previous tile's extent for the second tile on a side — and grows
+    away from the anchor in the signed directions below.  Reproduces the
+    placements of ``base_dataset.py:293-316``.
+
+    Args:
+      size: ``(w, h)`` of this tile.
+      base: ``(w0, h0)`` of the center tile.
+      prev: ``(wp, hp)`` of the previously placed tile.
+    """
+    w, h = size
+    w0, h0 = base
+    wp, hp = prev
+    left = top = s
+    right, bottom = s + w0, s + h0
+    anchor_x, anchor_y, grow_x, grow_y = [
+        (left, top, 1, 1),            # 0: center
+        (left, top, 1, -1),           # 1: top, on the upper edge
+        (left + wp, top, 1, -1),      # 2: top-right, shifted past tile 1
+        (right, top, 1, 1),           # 3: right, on the right edge
+        (right, top + hp, 1, 1),      # 4: bottom-right, below tile 3
+        (right, bottom, -1, 1),       # 5: bottom, under the lower edge
+        (right - wp, bottom, -1, 1),  # 6: bottom-left, past tile 5
+        (left, bottom, -1, -1),       # 7: left, on the left edge
+        (left, bottom - hp, -1, -1),  # 8: top-left, above tile 7
+    ][i]
+    x1 = anchor_x if grow_x > 0 else anchor_x - w
+    y1 = anchor_y if grow_y > 0 else anchor_y - h
+    return x1, y1, x1 + w, y1 + h
+
+
 class ImageDataset:
     """Label-free folder dataset for detect (``datasets/base_dataset.py:59-81``)."""
 
@@ -155,7 +224,10 @@ class BaseDataset:
         return targets
 
     def load_mosaic(self, index, rng):
-        """4-image mosaic on a 2s×2s canvas (``base_dataset.py:240-280``)."""
+        """4-image mosaic on a 2s×2s canvas (behavior of
+        ``base_dataset.py:240-280``): each tile anchors the corner nearest
+        the mosaic center at ``(xc, yc)`` and is clipped to the canvas —
+        see :func:`mosaic4_spans` for the derivation."""
         s = self.img_size
         yc, xc = [int(rng.uniform(-x, 2 * s + x)) for x in self.mosaic_border]
         indices = [index] + list(rng.integers(0, len(self.img_files), 3))
@@ -163,18 +235,9 @@ class BaseDataset:
         img4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         for i, idx in enumerate(indices):
             img, (h0, w0), (h, w) = self.load_image(idx, rng)
-            if i == 0:  # top left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-            elif i == 1:  # top right
-                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-            elif i == 2:  # bottom left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-            else:  # bottom right
-                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            (x1a, x2a, x1b, x2b), (y1a, y2a, y1b, y2b) = mosaic4_spans(
+                i, xc, yc, w, h, s
+            )
             img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
             pad = (y1a - y1b, x1a - x1b)
             labels4.append(
@@ -184,40 +247,27 @@ class BaseDataset:
         return img4, np.concatenate(labels4, 0)
 
     def load_mosaic9(self, index, rng):
-        """9-image mosaic on a 3s×3s canvas cropped to 2s (``:282-340``)."""
+        """9-image mosaic: a ring of 8 tiles around a center tile on a
+        3s×3s canvas, randomly cropped to 2s×2s (behavior of
+        ``base_dataset.py:282-340``); ring geometry derived in
+        :func:`mosaic9_box`."""
         s = self.img_size
         indices = [index] + list(rng.integers(0, len(self.img_files), 8))
         labels9 = []
         img9 = np.full((s * 3, s * 3, 3), 114, np.uint8)
-        hp = wp = h_ = w_ = 0
+        prev = base = (0, 0)
         for i, idx in enumerate(indices):
             img, (h0, w0), (h, w) = self.load_image(idx, rng)
             if i == 0:
-                h_, w_ = h, w
-                c = s, s, s + w, s + h
-            elif i == 1:
-                c = s, s - h, s + w, s
-            elif i == 2:
-                c = s + wp, s - h, s + wp + w, s
-            elif i == 3:
-                c = s + w_, s, s + w_ + w, s + h
-            elif i == 4:
-                c = s + w_, s + hp, s + w_ + w, s + hp + h
-            elif i == 5:
-                c = s + w_ - w, s + h_, s + w_, s + h_ + h
-            elif i == 6:
-                c = s + w_ - wp - w, s + h_, s + w_ - wp, s + h_ + h
-            elif i == 7:
-                c = s - w, s + h_ - h, s, s + h_
-            else:
-                c = s - w, s + h_ - hp - h, s, s + h_ - hp
-            padx, pady = c[:2]
-            x1, y1, x2, y2 = (max(v, 0) for v in c)
-            img9[y1:y2, x1:x2] = img[y1 - pady:, x1 - padx:][: y2 - y1, : x2 - x1]
-            hp, wp = h, w
+                base = (w, h)
+            x1, y1, x2, y2 = mosaic9_box(i, (w, h), base, prev, s)
+            cx1, cy1 = max(x1, 0), max(y1, 0)
+            img9[cy1:y2, cx1:x2] = img[cy1 - y1:, cx1 - x1:][: y2 - cy1,
+                                                             : x2 - cx1]
+            prev = (w, h)
             labels9.append(
-                self.load_target(idx, (pady, padx), (h0, w0), (h, w),
-                                 border=(x1 - padx, w, y1 - pady, h))
+                self.load_target(idx, (y1, x1), (h0, w0), (h, w),
+                                 border=(cx1 - x1, w, cy1 - y1, h))
             )
         labels9 = np.concatenate(labels9, 0)
         yc, xc = [int(rng.uniform(0, s)) for _ in self.mosaic_border]
