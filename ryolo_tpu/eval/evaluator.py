@@ -1,9 +1,10 @@
 """Full evaluation loop: the reusable ``test()`` of the TPU build.
 
 Equivalent of ``test.py:167-222``: iterate the val split, jit-fused
-forward+decode, val loss, post-process, greedy skew-IoU matching, COCO
-mAP@.5:.95 — with the batch-level compute jitted and only per-image
-matching on host.
+forward+decode+val-loss+post-process as ONE device program per batch
+(host only runs per-image matching), optionally sharded over a
+``jax.sharding.Mesh`` — batch over ``dp`` with replicated params; stats
+gather to host for AP computation (SURVEY.md §7 step 7).
 """
 
 from __future__ import annotations
@@ -18,6 +19,10 @@ from ryolo_tpu.data.loader import load_data
 from ryolo_tpu.eval.metrics import calculate_eval_stats, get_batch_statistics
 from ryolo_tpu.eval.postprocess import post_process_fixed
 from ryolo_tpu.utils.logger import logger
+
+# (id(model), id(loss_fn), thresholds...) -> jitted step; keeps the traced
+# program alive across per-epoch evaluate() calls so epoch 2+ skips retrace.
+_STEP_CACHE: Dict[tuple, Callable] = {}
 
 
 def padded_targets_to_rows(tgt, mask, img_size: int) -> np.ndarray:
@@ -41,6 +46,42 @@ def padded_targets_to_rows(tgt, mask, img_size: int) -> np.ndarray:
     return np.concatenate(rows, 0)
 
 
+def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
+    key = (id(model), id(loss_fn), float(conf_thres), float(iou_thres),
+           int(max_nms), int(max_det))
+    step = _STEP_CACHE.get(key)
+    if step is None:
+        @jax.jit
+        def step(variables, arrays):
+            outputs, decoded = model.apply(variables, arrays["images"],
+                                           train=False, decode=True)
+            dets, valid = post_process_fixed(
+                decoded, float(conf_thres), float(iou_thres),
+                max_nms=max_nms, max_det=max_det,
+            )
+            items = {}
+            if loss_fn is not None:
+                _, items = loss_fn(outputs, arrays)
+            return dets, valid, items
+
+        _STEP_CACHE[key] = step
+    return step
+
+
+def _pad_batch(arrays: Dict[str, np.ndarray], full: int):
+    """Zero-pad a short final batch to the full batch size (static shapes;
+    padded rows have all-False target masks and contribute no stats)."""
+    short = arrays["images"].shape[0]
+    if short == full:
+        return arrays
+    return {
+        k: np.concatenate(
+            [v, np.zeros((full - short,) + v.shape[1:], v.dtype)], 0
+        )
+        for k, v in arrays.items()
+    }
+
+
 def evaluate(
     model,
     variables,
@@ -56,11 +97,14 @@ def evaluate(
     max_nms: int = 5000,
     max_det: int = 1500,
     progress: bool = True,
+    mesh=None,
 ) -> Tuple[float, float, float, float, Dict[str, float]]:
     """Run the full mAP protocol on ``data['val']``.
 
-    Returns ``(mp, mr, map50, map50_95, avg_loss_items)`` like
-    ``test.py:222``.
+    With ``mesh`` given, the per-batch device program shards over the
+    mesh's ``dp`` axis (params replicated); ``batch_size`` must divide by
+    the dp size.  Returns ``(mp, mr, map50, map50_95, avg_loss_items)``
+    like ``test.py:222``.
     """
     _, loader = load_data(
         data["val"], data["names"], data["type"], hyp, csl,
@@ -70,9 +114,25 @@ def evaluate(
 
     logger.info("Compute mAP...")
 
-    @jax.jit
-    def forward(variables, images):
-        return model.apply(variables, images, train=False, decode=True)
+    img_sharding = tgt_sharding = None
+    if mesh is not None:
+        from ryolo_tpu.parallel.mesh import (
+            batch_sharding,
+            replicate,
+            target_sharding,
+        )
+
+        dp = mesh.shape["dp"]
+        if batch_size % dp:
+            raise ValueError(
+                f"eval batch_size {batch_size} not divisible by mesh size {dp}"
+            )
+        img_sharding = batch_sharding(mesh, spatial=False)
+        tgt_sharding = target_sharding(mesh)
+        variables = jax.device_put(variables, replicate(mesh))
+
+    step = _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms,
+                         max_det)
 
     iouv = np.linspace(0.5, 0.95, 10)
     niou = len(iouv)
@@ -91,26 +151,31 @@ def evaluate(
             pass
 
     for batch in iterator:
-        images = jnp.asarray(batch["images"])
-        seen += images.shape[0]
+        real_b = batch["images"].shape[0]
+        seen += real_b
         n_batches += 1
 
-        outputs, decoded = forward(variables, images)
-        if loss_fn is not None:
-            _, loss_items = loss_fn(outputs, batch)
-            for k, v in loss_items.items():
-                total_loss_items[k] = total_loss_items.get(k, 0.0) + float(v)
+        arrays = {k: np.asarray(v) for k, v in batch.items() if k != "paths"}
+        arrays = _pad_batch(arrays, batch_size)
+        if mesh is not None:
+            arrays = {
+                k: jax.device_put(
+                    v, img_sharding if k == "images" else tgt_sharding
+                )
+                for k, v in arrays.items()
+            }
 
-        dets, valid = post_process_fixed(
-            decoded, float(conf_thres), float(iou_thres),
-            max_nms=max_nms, max_det=max_det,
-        )
+        dets, valid, loss_items = step(variables, arrays)
+        for k, v in loss_items.items():
+            total_loss_items[k] = total_loss_items.get(k, 0.0) + float(v)
+
         dets = np.asarray(dets)
         valid = np.asarray(valid)
-        outputs_list = [dets[b][valid[b]] for b in range(dets.shape[0])]
+        outputs_list = [dets[b][valid[b]] for b in range(real_b)]
 
-        target_rows = padded_targets_to_rows(batch["tgt"], batch["tgt_mask"],
-                                             img_size)
+        target_rows = padded_targets_to_rows(
+            arrays["tgt"][:real_b], arrays["tgt_mask"][:real_b], img_size
+        )
         stats += get_batch_statistics(outputs_list, target_rows, iouv, niou)
 
     stats_cat = [np.concatenate(x, 0) for x in zip(*stats)] if stats else []

@@ -237,7 +237,7 @@ class Train:
             mp, mr, map50, map5095, total_val_loss = evaluate(
                 model, variables, loss_fn, data, hyp_cfg, csl,
                 args.img_size, args.batch_size * 2, conf_thres=0.001,
-                iou_thres=0.65, max_targets=args.max_targets,
+                iou_thres=0.65, max_targets=args.max_targets, mesh=mesh,
             )
 
             for k in total_train_loss:
