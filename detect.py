@@ -1,12 +1,19 @@
 """Inference CLI — same surface as the reference ``detect.py``
 (args at ``detect.py:85-97``): batch detection over an image folder with
 per-batch inference/post-process timing and drawn rotated boxes.
+
+TPU pipeline design: the checkpoint is deploy-fused (BN folding + RepConv
+merge, ryolo_tpu/nn/deploy.py), forward+decode+NMS run as ONE jitted device
+program, and a background thread prefetches/letterboxes the next batch while
+the device computes — the host I/O the reference serializes in its hot loop
+(``detect.py:54-76``) overlaps compute here.
 """
 
 import argparse
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +25,7 @@ import numpy as np
 
 from ryolo_tpu.data.datasets import ImageDataset
 from ryolo_tpu.eval.postprocess import post_process_fixed
-from ryolo_tpu.nn import Yolo
+from ryolo_tpu.nn import Yolo, fuse_for_inference
 from ryolo_tpu.utils.checkpoint import import_state_dict, load_pth
 from ryolo_tpu.utils.config import load_yaml
 from ryolo_tpu.utils.logger import logger
@@ -52,45 +59,55 @@ class Detect:
                                     train=False))
         variables, n = import_state_dict(load_pth(args.weight_path), variables)
         logger.info(f"Loaded {n} tensors from {args.weight_path}")
+        model, variables = fuse_for_inference(model, variables)
 
         @jax.jit
         def infer(variables, images):
             _, decoded = model.apply(variables, images, train=False,
                                      decode=True)
-            return decoded
+            dets, valid = post_process_fixed(
+                decoded, float(args.conf_thres), float(args.nms_thres)
+            )
+            return decoded, dets, valid
 
         save_folder = os.path.join("outputs", "inference")
         os.makedirs(save_folder, exist_ok=True)
 
         bs = args.batch_size
-        start = time.time()
-        for i in range(0, len(dataset), bs):
+
+        def load_batch(i):
             items = [dataset[j] for j in range(i, min(i + bs, len(dataset)))]
             paths = [p for p, _ in items]
-            images = jnp.asarray(np.stack([im for _, im in items]))
+            images = np.stack([im for _, im in items])
+            return paths, images
 
-            t0 = time.time()
-            decoded = infer(variables, images)
-            decoded.block_until_ready()
-            t1 = time.time()
-            dets, valid = post_process_fixed(
-                decoded, float(args.conf_thres), float(args.nms_thres)
-            )
-            dets = np.asarray(dets)
-            valid = np.asarray(valid)
-            t2 = time.time()
+        start = time.time()
+        starts = list(range(0, len(dataset), bs))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            batches = pool.map(load_batch, starts)  # prefetched host I/O
+            for paths, images in batches:
+                images = jnp.asarray(images)
+                t0 = time.time()
+                decoded, dets, valid = infer(variables, images)
+                decoded.block_until_ready()
+                t1 = time.time()
+                dets = np.asarray(dets)
+                valid = np.asarray(valid)
+                t2 = time.time()
 
-            boxes = [dets[b][valid[b]] for b in range(len(paths))]
-            num = sum(len(b) for b in boxes)
-            logger.info("-----------------------------------")
-            logger.info("{}-> {} objects found".format(paths, num))
-            logger.info("Inference time : " + "%10.4g" % round(t1 - t0, 5))
-            logger.info("Post-processing time : " + "%10.4g" % round(t2 - t1, 5))
-            logger.info("-----------------------------------")
+                boxes = [dets[b][valid[b]] for b in range(len(paths))]
+                num = sum(len(b) for b in boxes)
+                logger.info("-----------------------------------")
+                logger.info("{}-> {} objects found".format(paths, num))
+                logger.info("Inference time : " + "%10.4g"
+                            % round(t1 - t0, 5))
+                logger.info("Post-processing time : " + "%10.4g"
+                            % round(t2 - t1, 5))
+                logger.info("-----------------------------------")
 
-            for path, box in zip(paths, boxes):
-                plot_boxes(path, box, data["names"], args.img_size,
-                           save_folder)
+                for path, box in zip(paths, boxes):
+                    plot_boxes(path, box, data["names"], args.img_size,
+                               save_folder)
 
         logger.info("-----------------------------------")
         logger.info("Total detecting time : " + "%10.4g"

@@ -1,7 +1,7 @@
 """Image + rotated-label augmentations (host-side, numpy/cv2).
 
-Behavioral ports of ``lib/augmentations.py`` (hsv ``:8-20``, mixup ``:23-27``,
-flips ``:30-39``, random_warping ``:42-74``) and the letterbox
+Behavioral equivalents of ``lib/augmentations.py`` (hsv ``:8-20``, mixup
+``:23-27``, flips ``:30-39``, random_warping ``:42-74``) and the letterbox
 ``pad_to_square`` (``datasets/base_dataset.py:34-56``), with two TPU-build
 changes:
 
@@ -22,19 +22,23 @@ import numpy as np
 
 def hsv_augment(img: np.ndarray, rng: np.random.Generator,
                 hgain=0.015, sgain=0.7, vgain=0.4) -> None:
-    """In-place HSV jitter on a BGR uint8 image (``lib/augmentations.py:8-20``)."""
+    """In-place HSV jitter on a BGR uint8 image.
+
+    Behavior contract ``lib/augmentations.py:8-20``: per-channel gain
+    ``1 + U(-1, 1)·g`` applied through uint8 lookup tables, hue wrapping at
+    the OpenCV 180-degree range, saturation/value saturating at 255.
+    """
     if not (hgain or sgain or vgain):
         return
-    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
-    x = np.arange(0, 256, dtype=r.dtype)
-    lut_hue = ((x * r[0]) % 180).astype(np.uint8)
-    lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
-    lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
-    im_hsv = cv2.merge(
-        (cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val))
-    )
-    cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=img)
+    gains = 1.0 + rng.uniform(-1, 1, 3) * np.array([hgain, sgain, vgain])
+    ramp = np.arange(256, dtype=np.float64)[None, :] * gains[:, None]
+    luts = np.empty((3, 256), np.uint8)
+    luts[0] = np.mod(ramp[0], 180)          # hue: circular
+    luts[1:] = ramp[1:].clip(0, 255)        # sat/val: saturating
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    for c in range(3):
+        hsv[..., c] = cv2.LUT(hsv[..., c], luts[c])
+    cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR, dst=img)
 
 
 def mixup(img, targets, img2, targets2, rng: np.random.Generator):
@@ -64,37 +68,36 @@ def random_warping(img, targets, rng: np.random.Generator, degrees=10.0,
                    scale=0.9, translate=0.1, border=(0, 0)):
     """Random rotate/scale/translate warp of image + polygon labels.
 
-    Port of ``lib/augmentations.py:42-74``: M = T @ R @ C with rotation
-    sampled in ±degrees, scale in ``[1-scale, 1.1+scale]``, translation in
-    ``[0.3±translate]`` of the output size; the 2s mosaic canvas is cropped
-    back to s×s via the negative ``border``.
+    Behavior contract ``lib/augmentations.py:42-74``: rotation sampled in
+    ±degrees about the source center, scale in ``[1-scale, 1.1+scale]``,
+    center translated to ``[0.3±translate]`` of the output size; the 2s
+    mosaic canvas is cropped back to s×s via the negative ``border``.
+    Labels ride the same affine, vectorized over all polygons.
     """
     height = img.shape[0] + border[0] * 2
     width = img.shape[1] + border[1] * 2
 
-    C = np.eye(3)
-    C[0, 2] = -img.shape[1] / 2
-    C[1, 2] = -img.shape[0] / 2
-
-    R = np.eye(3)
-    a = rng.uniform(-degrees, degrees)
+    # One closed-form affine: rotate/scale about the source center, then
+    # drop the center at a jittered location ~30% into the output canvas.
+    theta = np.deg2rad(rng.uniform(-degrees, degrees))
     s = rng.uniform(1 - scale, 1.1 + scale)
-    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    shift = np.array([
+        rng.uniform(0.3 - translate, 0.3 + translate) * width,
+        rng.uniform(0.3 - translate, 0.3 + translate) * height,
+    ])
+    # image y grows downward, so +angle is clockwise (cv2 convention)
+    rot = s * np.array([[np.cos(theta), np.sin(theta)],
+                        [-np.sin(theta), np.cos(theta)]])
+    center = np.array([img.shape[1], img.shape[0]]) / 2.0
+    affine = np.concatenate([rot, (shift - rot @ center)[:, None]], axis=1)
 
-    T = np.eye(3)
-    T[0, 2] = rng.uniform(0.3 - translate, 0.3 + translate) * width
-    T[1, 2] = rng.uniform(0.3 - translate, 0.3 + translate) * height
-
-    M = T @ R @ C
-    out = cv2.warpPerspective(img, M, dsize=(width, height),
-                              borderValue=(114, 114, 114))
+    out = cv2.warpAffine(img, affine, dsize=(width, height),
+                         borderValue=(114, 114, 114))
 
     if len(targets):
-        pts = targets[:, 1:].reshape(-1, 2)
-        pts = np.concatenate([pts, np.ones((len(pts), 1))], -1)
-        pts = (M @ pts.T).T[:, :2]
         targets = targets.copy()
-        targets[:, 1:] = pts.reshape(-1, 8)
+        pts = targets[:, 1:].reshape(-1, 4, 2)
+        targets[:, 1:] = (pts @ rot.T + shift - rot @ center).reshape(-1, 8)
     return out, targets
 
 

@@ -41,7 +41,15 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, csl: bool,
                  shuffle: bool = True, max_targets: int = 300,
                  seed: int = 42, drop_last: bool = False,
-                 workers: int = 4, prefetch: int = 2):
+                 workers: int = 4, prefetch: int = 2,
+                 shard: Optional[tuple] = None):
+        """``shard=(host_id, n_hosts)`` splits the (epoch-shuffled) sample
+        order across hosts for multi-host data parallelism: each host loads
+        a disjoint 1/n_hosts slice per epoch (SURVEY §5.8 host-sharded
+        loading; the per-host batch then shards over that host's devices).
+        All hosts see the same length (shorter shards repeat their tail) so
+        collective steps stay in lockstep.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.csl = csl
@@ -53,9 +61,20 @@ class DataLoader:
         self.prefetch = prefetch
         self.epoch = 0
         self.n_dropped = 0
+        if shard is not None:
+            host, n_hosts = shard
+            if not (0 <= host < n_hosts):
+                raise ValueError(f"bad shard {shard}")
+        self.shard = shard
+
+    def _shard_len(self):
+        n = len(self.dataset)
+        if self.shard is None:
+            return n
+        return (n + self.shard[1] - 1) // self.shard[1]  # padded: lockstep
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -101,6 +120,14 @@ class DataLoader:
             np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch, 0xB00])
             ).shuffle(order)
+        if self.shard is not None:
+            host, n_hosts = self.shard
+            per = self._shard_len()
+            # strided split of the shared shuffle (same seed on every host),
+            # wrapped so every host yields exactly `per` samples
+            idx = (host + np.arange(per) * n_hosts) % n
+            order = order[idx]
+            n = per
         if self.drop_last:
             order = order[: (n // self.batch_size) * self.batch_size]
 
@@ -141,8 +168,12 @@ DATASETS = {
 
 def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
               batch_size=4, augment=False, shuffle=True, max_targets=300,
-              drop_last=False, seed=42, workers=4):
-    """Dataset + loader factory, mirroring ``lib/load.py:9-21``'s contract."""
+              drop_last=False, seed=42, workers=4, shard=None):
+    """Dataset + loader factory, mirroring ``lib/load.py:9-21``'s contract.
+
+    ``shard=(host_id, n_hosts)`` enables host-sharded loading for multi-host
+    data parallelism (each host feeds its own devices a disjoint slice).
+    """
     if dataset_type not in DATASETS:
         raise NotImplementedError(f"dataset type {dataset_type!r} not supported")
     dataset = DATASETS[dataset_type](
@@ -150,5 +181,5 @@ def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
     )
     loader = DataLoader(dataset, batch_size, csl=csl, shuffle=shuffle,
                         max_targets=max_targets, drop_last=drop_last,
-                        seed=seed, workers=workers)
+                        seed=seed, workers=workers, shard=shard)
     return dataset, loader

@@ -28,22 +28,23 @@ class Backbonev4(nn.Module):
     """CSPDarknet-53 with mish (``model/backbone.py:4-36``)."""
 
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        x = ConvBlock(32, 3, 1, "mish", dtype=d, name="cbm0")(x, train)
-        x = ConvBlock(64, 3, 2, "mish", dtype=d, name="cbm1")(x, train)
-        x = CSP(64, 64, 1, dtype=d, name="csp1")(x, train)
-        x = ConvBlock(128, 3, 2, "mish", dtype=d, name="cbm2")(x, train)
-        x = CSP(128, 128, 2, dtype=d, name="csp2")(x, train)
-        x = ConvBlock(256, 3, 2, "mish", dtype=d, name="cbm3")(x, train)
-        d3 = CSP(256, 256, 8, dtype=d, name="csp3")(x, train)
-        x = ConvBlock(512, 3, 2, "mish", dtype=d, name="cbm4")(d3, train)
-        d4 = CSP(512, 512, 8, dtype=d, name="csp4")(x, train)
-        x = ConvBlock(1024, 3, 2, "mish", dtype=d, name="cbm5")(d4, train)
-        d5 = CSP(1024, 1024, 4, dtype=d, name="csp5")(x, train)
-        d5 = SPP(1024, 512, dtype=d, name="spp")(d5, train)
+        x = ConvBlock(32, 3, 1, "mish", dtype=d, deploy=self.deploy, name="cbm0")(x, train)
+        x = ConvBlock(64, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm1")(x, train)
+        x = CSP(64, 64, 1, dtype=d, deploy=self.deploy, name="csp1")(x, train)
+        x = ConvBlock(128, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm2")(x, train)
+        x = CSP(128, 128, 2, dtype=d, deploy=self.deploy, name="csp2")(x, train)
+        x = ConvBlock(256, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm3")(x, train)
+        d3 = CSP(256, 256, 8, dtype=d, deploy=self.deploy, name="csp3")(x, train)
+        x = ConvBlock(512, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm4")(d3, train)
+        d4 = CSP(512, 512, 8, dtype=d, deploy=self.deploy, name="csp4")(x, train)
+        x = ConvBlock(1024, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm5")(d4, train)
+        d5 = CSP(1024, 1024, 4, dtype=d, deploy=self.deploy, name="csp5")(x, train)
+        d5 = SPP(1024, 512, dtype=d, deploy=self.deploy, name="spp")(d5, train)
         return d3, d4, d5
 
 
@@ -51,20 +52,21 @@ class Backbonev5(nn.Module):
     """YOLOv5 backbone: 6x6 stem, C3 depths 3/6/9/3, SPPF (``:39-66``)."""
 
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        x = ConvBlock(64, 6, 2, "swish", dtype=d, name="cbs0")(x, train)
-        x = ConvBlock(128, 3, 2, "swish", dtype=d, name="cbs1")(x, train)
-        x = C3(128, 128, 3, dtype=d, name="csp1")(x, train)
-        x = ConvBlock(256, 3, 2, "swish", dtype=d, name="cbs2")(x, train)
-        d3 = C3(256, 256, 6, dtype=d, name="csp2")(x, train)
-        x = ConvBlock(512, 3, 2, "swish", dtype=d, name="cbs3")(d3, train)
-        d4 = C3(512, 512, 9, dtype=d, name="csp3")(x, train)
-        x = ConvBlock(1024, 3, 2, "swish", dtype=d, name="cbs4")(d4, train)
-        d5 = C3(1024, 1024, 3, dtype=d, name="csp4")(x, train)
-        d5 = SPPF(1024, 1024, dtype=d, name="spp")(d5, train)
+        x = ConvBlock(64, 6, 2, "swish", dtype=d, deploy=self.deploy, name="cbs0")(x, train)
+        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs1")(x, train)
+        x = C3(128, 128, 3, dtype=d, deploy=self.deploy, name="csp1")(x, train)
+        x = ConvBlock(256, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs2")(x, train)
+        d3 = C3(256, 256, 6, dtype=d, deploy=self.deploy, name="csp2")(x, train)
+        x = ConvBlock(512, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs3")(d3, train)
+        d4 = C3(512, 512, 9, dtype=d, deploy=self.deploy, name="csp3")(x, train)
+        x = ConvBlock(1024, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs4")(d4, train)
+        d5 = C3(1024, 1024, 3, dtype=d, deploy=self.deploy, name="csp4")(x, train)
+        d5 = SPPF(1024, 1024, dtype=d, deploy=self.deploy, name="spp")(d5, train)
         return d3, d4, d5
 
 
@@ -72,22 +74,23 @@ class Backbonev7(nn.Module):
     """YOLOv7 backbone: ELAN1 stages with MaxConv downsamples (``:69-101``)."""
 
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        x = ConvBlock(32, 3, 1, "swish", dtype=d, name="cbs0")(x, train)
-        x = ConvBlock(64, 3, 2, "swish", dtype=d, name="cbs1")(x, train)
-        x = ConvBlock(64, 3, 1, "swish", dtype=d, name="cbs2")(x, train)
-        x = ConvBlock(128, 3, 2, "swish", dtype=d, name="cbs3")(x, train)
-        x = ELAN1(128, 256, dtype=d, name="elan1")(x, train)
-        x = MaxConv(256, dtype=d, name="mc1")(x, train)
-        d3 = ELAN1(256, 512, dtype=d, name="elan2")(x, train)
-        x = MaxConv(512, dtype=d, name="mc2")(d3, train)
-        d4 = ELAN1(512, 1024, dtype=d, name="elan3")(x, train)
-        x = MaxConv(1024, dtype=d, name="mc3")(d4, train)
-        d5 = ELAN1(1024, 1024, e1=0.25, e2=0.25, dtype=d, name="elan4")(x, train)
-        d5 = SPPCSPC(1024, 512, dtype=d, name="spp")(d5, train)
+        x = ConvBlock(32, 3, 1, "swish", dtype=d, deploy=self.deploy, name="cbs0")(x, train)
+        x = ConvBlock(64, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs1")(x, train)
+        x = ConvBlock(64, 3, 1, "swish", dtype=d, deploy=self.deploy, name="cbs2")(x, train)
+        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs3")(x, train)
+        x = ELAN1(128, 256, dtype=d, deploy=self.deploy, name="elan1")(x, train)
+        x = MaxConv(256, dtype=d, deploy=self.deploy, name="mc1")(x, train)
+        d3 = ELAN1(256, 512, dtype=d, deploy=self.deploy, name="elan2")(x, train)
+        x = MaxConv(512, dtype=d, deploy=self.deploy, name="mc2")(d3, train)
+        d4 = ELAN1(512, 1024, dtype=d, deploy=self.deploy, name="elan3")(x, train)
+        x = MaxConv(1024, dtype=d, deploy=self.deploy, name="mc3")(d4, train)
+        d5 = ELAN1(1024, 1024, e1=0.25, e2=0.25, dtype=d, deploy=self.deploy, name="elan4")(x, train)
+        d5 = SPPCSPC(1024, 512, dtype=d, deploy=self.deploy, name="spp")(d5, train)
         return d3, d4, d5
 
 

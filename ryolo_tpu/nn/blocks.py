@@ -66,20 +66,22 @@ class ConvBlock(nn.Module):
     bn: bool = True
     bias: bool = False
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.k - 1) // 2
+        fold_bn = self.bn and self.deploy  # BN folded into conv at fuse time
         x = nn.Conv(
             self.out_ch,
             (self.k, self.k),
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
-            use_bias=self.bias,
+            use_bias=self.bias or fold_bn,
             dtype=self.dtype,
             name="conv",
         )(x)
-        if self.bn:
+        if self.bn and not self.deploy:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
@@ -98,12 +100,15 @@ class Bottleneck(nn.Module):
     e: float = 0.5
     act: str = "mish"
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = ConvBlock(c_, 1, 1, self.act, dtype=self.dtype, name="cv1")(x, train)
-        y = ConvBlock(self.c2, 3, 1, self.act, dtype=self.dtype, name="cv2")(y, train)
+        y = ConvBlock(c_, 1, 1, self.act, dtype=self.dtype,
+                      deploy=self.deploy, name="cv1")(x, train)
+        y = ConvBlock(self.c2, 3, 1, self.act, dtype=self.dtype,
+                      deploy=self.deploy, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             y = x + y
         return y
@@ -118,18 +123,24 @@ class CSP(nn.Module):
     shortcut: bool = True
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
-        y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype, name="cv1")(x, train)
+        y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype,
+                       deploy=self.deploy, name="cv1")(x, train)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, e=1.0, act="mish",
-                            dtype=self.dtype, name=f"m_{i}")(y1, train)
-        y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype, name="cv3")(y1, train)
-        y2 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype, name="cv2")(x, train)
+                            dtype=self.dtype, deploy=self.deploy,
+                            name=f"m_{i}")(y1, train)
+        y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype,
+                       deploy=self.deploy, name="cv3")(y1, train)
+        y2 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype,
+                       deploy=self.deploy, name="cv2")(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBlock(self.c2, 1, 1, "mish", dtype=self.dtype, name="cv4")(y, train)
+        return ConvBlock(self.c2, 1, 1, "mish", dtype=self.dtype,
+                         deploy=self.deploy, name="cv4")(y, train)
 
 
 class C5(nn.Module):
@@ -139,15 +150,17 @@ class C5(nn.Module):
     c2: int
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
-        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv1")(x, train)
-        x = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv2")(x, train)
-        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv3")(x, train)
-        x = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv4")(x, train)
-        return ConvBlock(self.c2, 1, 1, "leaky", dtype=self.dtype, name="cv5")(x, train)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        x = ConvBlock(c_, 1, 1, "leaky", name="cv1", **kw)(x, train)
+        x = ConvBlock(self.c1, 3, 1, "leaky", name="cv2", **kw)(x, train)
+        x = ConvBlock(c_, 1, 1, "leaky", name="cv3", **kw)(x, train)
+        x = ConvBlock(self.c1, 3, 1, "leaky", name="cv4", **kw)(x, train)
+        return ConvBlock(self.c2, 1, 1, "leaky", name="cv5", **kw)(x, train)
 
 
 class C3(nn.Module):
@@ -159,17 +172,19 @@ class C3(nn.Module):
     shortcut: bool = True
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
-        y1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        y1 = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x, train)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, e=1.0, act="swish",
-                            dtype=self.dtype, name=f"m_{i}")(y1, train)
-        y2 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
+                            name=f"m_{i}", **kw)(y1, train)
+        y2 = ConvBlock(c_, 1, 1, "swish", name="cv2", **kw)(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv3")(y, train)
+        return ConvBlock(self.c2, 1, 1, "swish", name="cv3", **kw)(y, train)
 
 
 class ELAN1(nn.Module):
@@ -180,19 +195,21 @@ class ELAN1(nn.Module):
     e1: float = 0.5
     e2: float = 0.5
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h1 = int(self.c1 * self.e1)
         h2 = int(self.c1 * self.e2)
-        x1 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
-        x2 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
-        x3 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv3")(x2, train)
-        x3 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv4")(x3, train)
-        x4 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv5")(x3, train)
-        x4 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv6")(x4, train)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        x1 = ConvBlock(h1, 1, 1, "swish", name="cv1", **kw)(x, train)
+        x2 = ConvBlock(h1, 1, 1, "swish", name="cv2", **kw)(x, train)
+        x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
+        x3 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
+        x4 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x3, train)
+        x4 = ConvBlock(h2, 3, 1, "swish", name="cv6", **kw)(x4, train)
         y = jnp.concatenate([x1, x2, x3, x4], axis=-1)
-        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv7")(y, train)
+        return ConvBlock(self.c2, 1, 1, "swish", name="cv7", **kw)(y, train)
 
 
 class ELAN2(nn.Module):
@@ -203,19 +220,21 @@ class ELAN2(nn.Module):
     e1: float = 0.5
     e2: float = 0.25
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h1 = int(self.c1 * self.e1)
         h2 = int(self.c1 * self.e2)
-        x1 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
-        x2 = ConvBlock(h1, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
-        x3 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv3")(x2, train)
-        x4 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv4")(x3, train)
-        x5 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv5")(x4, train)
-        x6 = ConvBlock(h2, 3, 1, "swish", dtype=self.dtype, name="cv6")(x5, train)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        x1 = ConvBlock(h1, 1, 1, "swish", name="cv1", **kw)(x, train)
+        x2 = ConvBlock(h1, 1, 1, "swish", name="cv2", **kw)(x, train)
+        x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
+        x4 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
+        x5 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x4, train)
+        x6 = ConvBlock(h2, 3, 1, "swish", name="cv6", **kw)(x5, train)
         y = jnp.concatenate([x1, x2, x3, x4, x5, x6], axis=-1)
-        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv7")(y, train)
+        return ConvBlock(self.c2, 1, 1, "swish", name="cv7", **kw)(y, train)
 
 
 class MaxConv(nn.Module):
@@ -224,14 +243,16 @@ class MaxConv(nn.Module):
     c1: int
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
         x1 = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x1, train)
-        x2 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
-        x2 = ConvBlock(c_, 3, 2, "swish", dtype=self.dtype, name="cv3")(x2, train)
+        x1 = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x1, train)
+        x2 = ConvBlock(c_, 1, 1, "swish", name="cv2", **kw)(x, train)
+        x2 = ConvBlock(c_, 3, 2, "swish", name="cv3", **kw)(x2, train)
         return jnp.concatenate([x1, x2], axis=-1)
 
 
@@ -272,8 +293,10 @@ class ImplicitM(nn.Module):
 class RepConv(nn.Module):
     """RepVGG block: 3x3 + 1x1 + identity-BN branches, SiLU (``:189-215``).
 
-    Train-time structure only (the reference implements no deploy-time fusion
-    either); XLA fuses the three branches into the surrounding graph.
+    With ``deploy=True`` the three branches collapse into ONE 3x3 biased conv
+    (params produced by :func:`ryolo_tpu.nn.deploy.fuse_for_inference`) — the
+    RepVGG deploy-time fusion the reference leaves unimplemented
+    (``model/utils.py:189-215``), a pure inference win.
     """
 
     c1: int
@@ -281,10 +304,16 @@ class RepConv(nn.Module):
     k: int = 3
     s: int = 1
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = 1
+        if self.deploy:
+            y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                        padding=[(p, p), (p, p)], use_bias=True,
+                        dtype=self.dtype, name="fused")(x)
+            return jax.nn.silu(y)
         dense = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
                         padding=[(p, p), (p, p)], use_bias=False,
                         dtype=self.dtype, name="dense_conv")(x)
@@ -310,20 +339,22 @@ class SPP(nn.Module):
     c1: int
     c2: int
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c1 // 2
-        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv1")(x, train)
-        x = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv2")(x, train)
-        x = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv3")(x, train)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        x = ConvBlock(c_, 1, 1, "leaky", name="cv1", **kw)(x, train)
+        x = ConvBlock(self.c1, 3, 1, "leaky", name="cv2", **kw)(x, train)
+        x = ConvBlock(c_, 1, 1, "leaky", name="cv3", **kw)(x, train)
         y = jnp.concatenate(
             [max_pool_same(x, 13), max_pool_same(x, 9), max_pool_same(x, 5), x],
             axis=-1,
         )
-        y = ConvBlock(c_, 1, 1, "leaky", dtype=self.dtype, name="cv4")(y, train)
-        y = ConvBlock(self.c1, 3, 1, "leaky", dtype=self.dtype, name="cv5")(y, train)
-        return ConvBlock(self.c2, 1, 1, "leaky", dtype=self.dtype, name="cv6")(y, train)
+        y = ConvBlock(c_, 1, 1, "leaky", name="cv4", **kw)(y, train)
+        y = ConvBlock(self.c1, 3, 1, "leaky", name="cv5", **kw)(y, train)
+        return ConvBlock(self.c2, 1, 1, "leaky", name="cv6", **kw)(y, train)
 
 
 class SPPF(nn.Module):
@@ -333,16 +364,18 @@ class SPPF(nn.Module):
     c2: int
     k: int = 5
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c1 // 2
-        x = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        x = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x, train)
         y1 = max_pool_same(x, self.k)
         y2 = max_pool_same(y1, self.k)
         y3 = max_pool_same(y2, self.k)
-        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
-        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv2")(y, train)
+        return ConvBlock(self.c2, 1, 1, "swish", name="cv2", **kw)(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), train)
 
 
 class SPPCSPC(nn.Module):
@@ -353,17 +386,19 @@ class SPPCSPC(nn.Module):
     e: float = 0.5
     pools: Sequence[int] = (5, 9, 13)
     dtype: Dtype = jnp.float32
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(2 * self.c2 * self.e)
-        x1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv1")(x, train)
-        x1 = ConvBlock(c_, 3, 1, "swish", dtype=self.dtype, name="cv3")(x1, train)
-        x1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv4")(x1, train)
+        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        x1 = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x, train)
+        x1 = ConvBlock(c_, 3, 1, "swish", name="cv3", **kw)(x1, train)
+        x1 = ConvBlock(c_, 1, 1, "swish", name="cv4", **kw)(x1, train)
         y1 = jnp.concatenate([x1] + [max_pool_same(x1, k) for k in self.pools],
                              axis=-1)
-        y1 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv5")(y1, train)
-        y1 = ConvBlock(c_, 3, 1, "swish", dtype=self.dtype, name="cv6")(y1, train)
-        y2 = ConvBlock(c_, 1, 1, "swish", dtype=self.dtype, name="cv2")(x, train)
+        y1 = ConvBlock(c_, 1, 1, "swish", name="cv5", **kw)(y1, train)
+        y1 = ConvBlock(c_, 3, 1, "swish", name="cv6", **kw)(y1, train)
+        y2 = ConvBlock(c_, 1, 1, "swish", name="cv2", **kw)(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBlock(self.c2, 1, 1, "swish", dtype=self.dtype, name="cv7")(y, train)
+        return ConvBlock(self.c2, 1, 1, "swish", name="cv7", **kw)(y, train)

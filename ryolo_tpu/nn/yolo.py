@@ -58,6 +58,9 @@ class Yolo(nn.Module):
     mode: str = "csl"  # 'csl' | 'kfiou'
     ver: str = "yolov5"
     dtype: Any = jnp.float32
+    # Inference-only fused graph (BN folded, RepConv merged, Implicit priors
+    # absorbed); params come from ryolo_tpu.nn.deploy.fuse_for_inference.
+    deploy: bool = False
 
     def setup(self):
         if self.mode not in ("csl", "kfiou"):
@@ -75,8 +78,11 @@ class Yolo(nn.Module):
         self.na = len(self.anchors[0])
         out_ch = self.nf * self.na
 
-        self.backbone = BACKBONES[self.ver](dtype=self.dtype, name="backbone")
-        self.neck = NECKS[self.ver](out_ch, dtype=self.dtype, name="neck")
+        self.backbone = BACKBONES[self.ver](dtype=self.dtype,
+                                            deploy=self.deploy,
+                                            name="backbone")
+        self.neck = NECKS[self.ver](out_ch, dtype=self.dtype,
+                                    deploy=self.deploy, name="neck")
 
     def __call__(self, images, train: bool = False, decode: bool = False):
         d3, d4, d5 = self.backbone(images, train)

@@ -16,7 +16,7 @@ from ryolo_tpu.utils.platform import apply_env_platform
 apply_env_platform()
 
 from ryolo_tpu.eval.evaluator import evaluate
-from ryolo_tpu.nn import Yolo
+from ryolo_tpu.nn import Yolo, fuse_for_inference
 from ryolo_tpu.nn.yolo import STRIDES, make_anchors, make_rotated_anchors
 from ryolo_tpu.utils.checkpoint import import_state_dict, load_pth
 from ryolo_tpu.utils.config import load_yaml
@@ -55,6 +55,10 @@ class Test:
             anchors = make_rotated_anchors(STRIDES, model_cfg["anchors"],
                                            angles)
         loss_fn = make_loss_fn(args.mode, anchors, nc, hyp_cfg)
+
+        # deploy-fused inference graph (BN fold + RepConv merge): exact to
+        # f32 rounding, removes every BN from the compiled eval program
+        model, variables = fuse_for_inference(model, variables)
 
         evaluate(
             model, variables, loss_fn, data, hyp_cfg, csl, args.img_size,

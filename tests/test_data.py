@@ -170,3 +170,21 @@ class TestLoader:
         loader.set_epoch(1)
         b2 = next(iter(loader))
         assert not np.array_equal(b1["images"], b2["images"])
+
+    def test_host_sharded_loading(self, synth):
+        """shard=(host, n) slices each epoch across hosts in lockstep
+        (SURVEY §5.8 host-sharded loading for multi-host DP)."""
+        def paths_of(shard):
+            _, loader = load_data(os.path.join(synth, "train"), ["a", "b"],
+                                  "custom", HYP, csl=False, img_size=128,
+                                  batch_size=2, augment=False, shuffle=True,
+                                  seed=7, shard=shard)
+            return [p for b in loader for p in b["paths"]], len(loader)
+
+        full, _ = paths_of(None)
+        p0, l0 = paths_of((0, 2))
+        p1, l1 = paths_of((1, 2))
+        assert l0 == l1  # lockstep: same number of steps on every host
+        assert len(p0) == len(p1) == len(full) // 2
+        assert not (set(p0) & set(p1))        # disjoint (6 images, no wrap)
+        assert set(p0) | set(p1) == set(full)  # complete coverage

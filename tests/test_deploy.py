@@ -1,0 +1,95 @@
+"""Deploy-time fusion parity: fused inference graph == training graph.
+
+The fused model (BN folded, RepConv merged, Implicit priors absorbed —
+ryolo_tpu/nn/deploy.py) must reproduce the training-structure forward at
+``train=False`` exactly up to float32 rounding, for every backbone version
+and head mode.  RepConv/Implicit semantics per the reference
+(``model/utils.py:163-215``, ``model/neck.py:189-216``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ryolo_tpu.nn import Yolo, fuse_for_inference
+
+MODEL_CFG = {
+    "anchors": [[12, 16, 19, 36, 40, 28], [36, 75, 76, 55, 72, 146],
+                [142, 110, 192, 243, 459, 401]],
+    "angles": [-90, -60, -30, 0, 30, 60],
+}
+NC = 2
+
+
+def _randomized_variables(model, x, seed=0):
+    """Init then jitter every param and BN stat so folds are non-trivial."""
+    variables = model.init(jax.random.PRNGKey(seed), x, train=False)
+    rng = np.random.default_rng(seed)
+
+    def jitter(leaf):
+        a = np.asarray(leaf)
+        sigma = 0.1 * a.std() + 0.01  # scale-relative: keep activations sane
+        return a + rng.normal(0, sigma, a.shape).astype(a.dtype)
+
+    params = jax.tree_util.tree_map(jitter, variables["params"])
+
+    def jitter_stats(path, leaf):
+        a = np.asarray(leaf)
+        name = path[-1].key
+        if name == "var":
+            return np.abs(rng.normal(1.0, 0.3, a.shape)).astype(a.dtype) + 0.2
+        return a + rng.normal(0, 0.2, a.shape).astype(a.dtype)
+
+    stats = jax.tree_util.tree_map_with_path(
+        jitter_stats, variables["batch_stats"]
+    )
+    return {"params": params, "batch_stats": stats}
+
+
+@pytest.mark.parametrize("ver,mode", [
+    ("yolov5", "csl"),
+    ("yolov4", "csl"),
+    ("yolov7", "csl"),
+    ("yolov7", "kfiou"),
+])
+def test_fused_forward_matches_training_graph(ver, mode):
+    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode=mode, ver=ver)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (2, 64, 64, 3)), jnp.float32
+    )
+    variables = _randomized_variables(model, x)
+
+    ref_outs, ref_dec = model.apply(variables, x, train=False, decode=True)
+    dep_model, dep_vars = fuse_for_inference(model, variables)
+    assert "batch_stats" not in dep_vars
+    outs, dec = dep_model.apply(dep_vars, x, train=False, decode=True)
+
+    for r, o in zip(ref_outs, outs):
+        r = np.asarray(r)
+        # atol rides the logit magnitude: the fold is exact linear algebra,
+        # the residual is f32 summation-order noise through ~100 convs
+        np.testing.assert_allclose(np.asarray(o), r, rtol=1e-3,
+                                   atol=1e-4 * np.abs(r).max() + 1e-4)
+    # decoded boxes are in pixels (up to 64): compare absolutely
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(ref_dec),
+                               rtol=1e-3, atol=2e-2)
+
+
+def test_fused_param_count_shrinks():
+    """RepConv 3-branch + BN params disappear from the deployed tree."""
+    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode="csl",
+                 ver="yolov7")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, dep_vars = fuse_for_inference(model, variables)
+    flat = jax.tree_util.tree_leaves_with_path(dep_vars["params"])
+    names = ["/".join(str(k) for k in p) for p, _ in flat]
+    assert not any("bn" in n for n in names)
+    assert not any("implicit" in n for n in names)
+    assert not any("dense_conv" in n for n in names)
+    n_ref = sum(np.asarray(l).size for l in
+                jax.tree_util.tree_leaves(variables["params"]))
+    n_dep = sum(np.asarray(l).size for l, in
+                zip(jax.tree_util.tree_leaves(dep_vars["params"]),))
+    assert n_dep < n_ref

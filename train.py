@@ -119,10 +119,17 @@ class Train:
                                            angles)
         loss_fn = make_loss_fn(args.mode, anchors, nc, hyp_cfg)
 
+        # Host-sharded loading under multi-host DP: each process feeds its
+        # own devices a disjoint slice of the epoch (SURVEY §5.8).
+        shard = (
+            (jax.process_index(), jax.process_count())
+            if jax.process_count() > 1 else None
+        )
         _, train_loader = load_data(
             data["train"], data["names"], data["type"], hyp_cfg, csl,
             img_size=args.img_size, batch_size=args.batch_size, augment=True,
             shuffle=True, max_targets=args.max_targets, drop_last=True,
+            shard=shard,
         )
         iters_per_epoch = len(train_loader)
 
