@@ -31,11 +31,38 @@ from ryolo_tpu.ops.rotated_iou import rotated_iou_pairs
 NEG_INF = -1e30  # python float: no device array at import time
 
 
+def _use_pallas_default() -> bool:
+    """The Pallas tile kernel lowers on TPU backends only (Mosaic)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _iou_block(a: jax.Array, b: jax.Array, pallas: bool) -> jax.Array:
+    """(n, 5) x (m, 5) degree-boxes -> (n, m) IoU, kernel per platform.
+
+    On TPU the Pallas kernel keeps the Sutherland–Hodgman rings in vector
+    registers (the XLA formulation materializes (n, m, 8)-shaped ring
+    buffers in HBM — the dominant cost of eval-load NMS); elsewhere the
+    XLA kernel is used.  Identical formulation, parity pinned by
+    tests/test_pallas_iou.py.
+    """
+    if pallas:
+        from ryolo_tpu.ops.pallas_iou import pairwise_rotated_iou_pallas
+
+        return pairwise_rotated_iou_pallas(a, b, tm=min(a.shape[0], 128),
+                                           tn=128)
+    return rotated_iou_pairs(a[:, None, :], b[None, :, :])
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("max_keep", "chunk", "presorted"))
+                   static_argnames=("max_keep", "chunk", "presorted",
+                                    "pallas"))
 def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
                        iou_threshold: jax.Array, max_keep: int = 1500,
-                       chunk: int = 64, presorted: bool = False):
+                       chunk: int = 64, presorted: bool = False,
+                       pallas: bool | None = None):
     """Greedy rotated NMS on a fixed-size padded candidate set.
 
     Args:
@@ -60,6 +87,8 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     k = scores.shape[0]
     if k == 0:  # static shape: nothing to suppress
         return jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool)
+    if pallas is None:
+        pallas = _use_pallas_default()
     m = min(max_keep, k)
     c = min(chunk, k)
     k_pad = ((k + c - 1) // c) * c
@@ -85,25 +114,36 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
         cvalid = jax.lax.dynamic_slice_in_dim(svalid, start, c, 0)  # (c,)
 
         # Batched suppression geometry: chunk vs kept buffer, chunk vs chunk.
-        iou_kept = rotated_iou_pairs(
-            cboxes[:, None, :], kept_boxes[None, :, :]
-        )  # (c, m)
+        iou_kept = _iou_block(cboxes, kept_boxes, pallas)  # (c, m)
         sup_by_kept = jnp.any(
             kept_valid[None, :] & (iou_kept > iou_threshold), axis=1
         )  # (c,)
-        iou_self = rotated_iou_pairs(
-            cboxes[:, None, :], cboxes[None, :, :]
-        )  # (c, c)
-        sup_self = iou_self > iou_threshold  # (c, c)
+        iou_self = _iou_block(cboxes, cboxes, pallas)  # (c, c)
+        # sup[j, i]: earlier chunk element j suppresses later element i
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+               < jax.lax.broadcasted_iota(jnp.int32, (c, c), 1))
+        sup_self = tri & (iou_self > iou_threshold)  # (c, c), strict order
 
-        # Sequential within-chunk pass: pure (c,)-vector boolean ops.
-        def inner(i, kc):
-            before = jax.lax.broadcasted_iota(jnp.int32, (c,), 0) < i
-            hit = jnp.any(kc & before & sup_self[:, i])
-            keep_i = cvalid[i] & ~sup_by_kept[i] & ~hit
-            return kc.at[i].set(keep_i)
+        # Within-chunk greedy as a fixpoint: k[i] = base[i] & ~∃j<i
+        # (k[j] & sup[j, i]).  The greedy recurrence has a UNIQUE fixpoint
+        # (induction on i), and iteration from k=base converges to it in at
+        # most the suppression-chain depth — typically a handful of matvec
+        # rounds instead of the c-step sequential scan.
+        base = cvalid & ~sup_by_kept
 
-        keep_chunk = jax.lax.fori_loop(0, c, inner, jnp.zeros((c,), bool))
+        def fix_cond(s):
+            _, changed, it = s
+            return changed & (it < c)
+
+        def fix_body(s):
+            kc, _, it = s
+            hit = jnp.any(kc[:, None] & sup_self, axis=0)  # (c,)
+            k_new = base & ~hit
+            return k_new, jnp.any(k_new != kc), it + 1
+
+        keep_chunk, _, _ = jax.lax.while_loop(
+            fix_cond, fix_body, (base, jnp.bool_(True), jnp.int32(0))
+        )
         # enforce the kept-buffer capacity (score order within chunk)
         rank = count + jnp.cumsum(keep_chunk) - keep_chunk.astype(jnp.int32)
         keep_chunk = keep_chunk & (rank < m)

@@ -12,9 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual devices share this host's core(s): XLA's out-of-order thunk
+# scheduling makes device threads reach a given collective minutes apart in
+# big sharded programs, and the default 40 s rendezvous deadline aborts the
+# process (see __graft_entry__._force_cpu_mesh).
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
