@@ -149,7 +149,8 @@ def bench_nms(n_valid: int, iters: int = 16):
     return dt / iters / BATCH * 1e3
 
 
-def bench_train(img: int, batch: int, iters: int = 12):
+def bench_train(img: int, batch: int, iters: int = 12,
+                dtype_name: str = "f32"):
     """Training-step throughput: device-bound ceiling vs loader-fed.
 
     Reports img/s for the jitted train step on pre-uploaded batches (the
@@ -180,7 +181,9 @@ def bench_train(img: int, batch: int, iters: int = 12):
            "rotate": 45, "translate": 0.1, "scale": 0.5, "flipud": 0.5,
            "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.15}
     nc = NC
-    model = Yolo(n_classes=nc, model_config=cfg, mode="csl", ver="yolov7")
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    model = Yolo(n_classes=nc, model_config=cfg, mode="csl", ver="yolov7",
+                 dtype=dtype)
     anchors = make_anchors(STRIDES, cfg["anchors"])
 
     def loss_fn(outputs, b):
@@ -251,7 +254,7 @@ def bench_train(img: int, batch: int, iters: int = 12):
         print(f"# loader-fed bench failed: {e!r}")
 
     out = {
-        "metric": f"train_img_per_sec_chip_{img}px_yolov7_csl",
+        "metric": f"train_img_per_sec_chip_{img}px_yolov7_csl_{dtype_name}",
         "value": round(ips_device, 2),
         "unit": "img/s",
         "device_bound_img_s": round(ips_device, 2),
@@ -264,6 +267,7 @@ def bench_train(img: int, batch: int, iters: int = 12):
 
 
 def main():
+    global BATCH, IMG
     parser = argparse.ArgumentParser()
     parser.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     parser.add_argument("--no-deploy", action="store_true",
@@ -289,8 +293,10 @@ def main():
     enable_compilation_cache()
 
     if args.train:
-        bench_train(args.img, args.batch)
+        bench_train(args.img, args.batch, dtype_name=args.dtype)
         return
+
+    BATCH, IMG = args.batch, args.img
 
     model, variables = build_model(args.dtype, not args.no_deploy)
 

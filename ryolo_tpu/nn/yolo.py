@@ -87,8 +87,10 @@ class Yolo(nn.Module):
     def __call__(self, images, train: bool = False, decode: bool = False):
         d3, d4, d5 = self.backbone(images, train)
         x6, x5, x4 = self.neck(d5, d4, d3, train)
+        # transpose in the compute dtype (half the HBM traffic in bf16),
+        # upcast after — the raw-head contract stays float32
         outs = tuple(
-            reshape_head(x.astype(jnp.float32), self.na, self.nf)
+            reshape_head(x, self.na, self.nf).astype(jnp.float32)
             for x in (x6, x5, x4)
         )
         if not decode:

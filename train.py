@@ -93,8 +93,14 @@ class Train:
         save_opts(self.model_path, args, config)
         tb = Logger(os.path.join(self.model_path, "logs"))
 
+        # --dtype bf16: mixed-precision training (bf16 conv/activation
+        # compute on the MXU, f32 params/grads/optimizer, f32 loss on the
+        # raw head outputs) — the additive TPU knob; default stays f32.
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         model = Yolo(n_classes=nc, model_config=model_cfg, mode=args.mode,
-                     ver=args.ver)
+                     ver=args.ver, dtype=dtype)
         rngs = jax.random.PRNGKey(42)
         # init at a tiny image: param/stat shapes are image-size independent
         sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -304,6 +310,9 @@ def build_parser():
                         help="resume from weights/<model_name>/last.state")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of one train step")
+    parser.add_argument("--dtype", default="f32", nargs="?",
+                        choices=["f32", "bf16"],
+                        help="compute dtype (params stay f32)")
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel mesh size (devices)")
     parser.add_argument("--sp", type=int, default=1,
