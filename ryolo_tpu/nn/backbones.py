@@ -21,6 +21,8 @@ from ryolo_tpu.nn.blocks import (
     ConvBlock,
     Dtype,
     MaxConv,
+    S2DStem,
+    S2DStemSingle,
 )
 
 
@@ -33,8 +35,11 @@ class Backbonev4(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        x = ConvBlock(32, 3, 1, "mish", dtype=d, deploy=self.deploy, name="cbm0")(x, train)
-        x = ConvBlock(64, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm1")(x, train)
+        if self.deploy:  # exact S2D reparametrization of cbm0+cbm1
+            x = S2DStem(32, 64, act="mish", dtype=d, name="s2d_stem")(x, train)
+        else:
+            x = ConvBlock(32, 3, 1, "mish", dtype=d, name="cbm0")(x, train)
+            x = ConvBlock(64, 3, 2, "mish", dtype=d, name="cbm1")(x, train)
         x = CSP(64, 64, 1, dtype=d, deploy=self.deploy, name="csp1")(x, train)
         x = ConvBlock(128, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm2")(x, train)
         x = CSP(128, 128, 2, dtype=d, deploy=self.deploy, name="csp2")(x, train)
@@ -57,7 +62,11 @@ class Backbonev5(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        x = ConvBlock(64, 6, 2, "swish", dtype=d, deploy=self.deploy, name="cbs0")(x, train)
+        if self.deploy:  # exact S2D reshuffle of the 6x6 s2 stem conv
+            x = S2DStemSingle(64, act="swish", dtype=d,
+                              name="s2d_stem")(x, train)
+        else:
+            x = ConvBlock(64, 6, 2, "swish", dtype=d, name="cbs0")(x, train)
         x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs1")(x, train)
         x = C3(128, 128, 3, dtype=d, deploy=self.deploy, name="csp1")(x, train)
         x = ConvBlock(256, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs2")(x, train)
@@ -79,8 +88,11 @@ class Backbonev7(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        x = ConvBlock(32, 3, 1, "swish", dtype=d, deploy=self.deploy, name="cbs0")(x, train)
-        x = ConvBlock(64, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs1")(x, train)
+        if self.deploy:  # exact S2D reparametrization of cbs0+cbs1
+            x = S2DStem(32, 64, dtype=d, name="s2d_stem")(x, train)
+        else:
+            x = ConvBlock(32, 3, 1, "swish", dtype=d, name="cbs0")(x, train)
+            x = ConvBlock(64, 3, 2, "swish", dtype=d, name="cbs1")(x, train)
         x = ConvBlock(64, 3, 1, "swish", dtype=d, deploy=self.deploy, name="cbs2")(x, train)
         x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs3")(x, train)
         x = ELAN1(128, 256, dtype=d, deploy=self.deploy, name="elan1")(x, train)

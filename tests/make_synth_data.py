@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from ryolo_tpu.data.datasets import xywha_to_polys_np  # noqa: E402
 
 
-def make_split(out_dir, n_images, img_size, rng):
+def make_split(out_dir, n_images, img_size, rng, w_range=(0.08, 0.18),
+               ratio=(1.5, 3.0)):
     os.makedirs(out_dir, exist_ok=True)
     for i in range(n_images):
         img = rng.integers(0, 60, (img_size, img_size, 3)).astype(np.uint8)
@@ -26,8 +27,8 @@ def make_split(out_dir, n_images, img_size, rng):
         rows = []
         for _ in range(n_obj):
             cls = int(rng.integers(0, 2))
-            w = float(rng.uniform(0.08, 0.18) * img_size)
-            h = w * float(rng.uniform(1.5, 3.0))
+            w = float(rng.uniform(*w_range) * img_size)
+            h = w * float(rng.uniform(*ratio))
             x = float(rng.uniform(h, img_size - h))
             y = float(rng.uniform(h, img_size - h))
             t = float(rng.uniform(-np.pi / 2, np.pi / 2 - 1e-3))
@@ -42,11 +43,14 @@ def make_split(out_dir, n_images, img_size, rng):
             f.write("\n".join(rows) + "\n")
 
 
-def main(root, n_images=16, img_size=256, seed=0):
+def main(root, n_images=16, img_size=256, seed=0, w_range=(0.08, 0.18),
+         ratio=(1.5, 3.0)):
     rng = np.random.default_rng(seed)
-    make_split(os.path.join(root, "train"), n_images, img_size, rng)
-    make_split(os.path.join(root, "val"), max(n_images // 2, 2), img_size, rng)
-    make_split(os.path.join(root, "test"), 2, img_size, rng)
+    kw = dict(w_range=w_range, ratio=ratio)
+    make_split(os.path.join(root, "train"), n_images, img_size, rng, **kw)
+    make_split(os.path.join(root, "val"), max(n_images // 2, 2), img_size,
+               rng, **kw)
+    make_split(os.path.join(root, "test"), 2, img_size, rng, **kw)
     with open(os.path.join(root, "data.yaml"), "w") as f:
         f.write(
             "type: custom\n"

@@ -4,7 +4,15 @@ The BASELINE north star asks for detections within 1e-3 skew-IoU of the
 PyTorch reference.  Without released pretrained weights this is checked on
 shared random weights: the reference model + reference post_process (with
 the oracle-verified native NMS as the detectron2 stub) against our jitted
-forward + fixed-shape post-process, end to end on the same image batch.
+forward + fixed-shape post-process, end to end on the same image batch —
+across all three backbone versions, both head modes, up to 416px, and
+through the deploy-fused inference graph.
+
+BN running stats are calibrated with a few train-mode batches first so
+eval-mode activations stay in the sigmoids' linear range — random-weight
+saturation produced whole groups of bitwise-tied confidences in round 1,
+which greedy NMS orders arbitrarily; calibrated weights make detections
+(near-)unique so the parity bar can be strict.
 """
 
 import sys
@@ -48,54 +56,102 @@ def _ref_modules():
     return RefYolo, ref_general
 
 
-@pytest.mark.parametrize("mode", ["csl", "kfiou"])
-def test_detections_match_reference(mode):
+def _calibrated_ref_model(mode, ver, img, seed=7):
+    """Reference model with BN stats adapted to the test input statistics."""
     RefYolo, ref_general = _ref_modules()
+    torch.manual_seed(seed)
+    ref_model = RefYolo(NC, MODEL_CFG, mode, ver)
+    ref_model.train()
+    rng = np.random.default_rng(99)
+    with torch.no_grad():
+        for _ in range(4):
+            cal = rng.uniform(0, 1, (2, 3, img, img)).astype(np.float32)
+            ref_model(torch.tensor(cal), training=True)
+    ref_model.eval()
+    return ref_model, ref_general
+
+
+def _gap_threshold(ref_dec, lo=20, hi=150):
+    """Confidence threshold at the widest gap among the top candidates.
+
+    A fixed 0.25 lands in the dense bulk of a random-weight confidence
+    distribution, so f32 rounding across frameworks flips threshold
+    decisions.  Thresholding mid-gap makes the candidate SET identical
+    unless the two stacks disagree by more than half the gap.
+    """
+    conf = (ref_dec[..., 5] * ref_dec[..., 6:].max(dim=-1).values)
+    top = conf.flatten().sort(descending=True).values[:hi + 1].numpy()
+    gaps = top[lo:hi] - top[lo + 1:hi + 1]
+    k = lo + int(np.argmax(gaps))
+    return float((top[k] + top[k + 1]) / 2)
+
+
+def _run_pair(mode, ver, img, deploy, iou=0.4):
     from ryolo_tpu.eval.postprocess import post_process
-    from ryolo_tpu.nn import Yolo
+    from ryolo_tpu.nn import Yolo, fuse_for_inference
     from ryolo_tpu.utils.checkpoint import import_state_dict
 
-    torch.manual_seed(7)
-    ref_model = RefYolo(NC, MODEL_CFG, mode, "yolov5")
-    ref_model.eval()
+    ref_model, ref_general = _calibrated_ref_model(mode, ver, img)
 
     rng = np.random.default_rng(3)
-    img = rng.uniform(0, 1, (2, 3, 96, 96)).astype(np.float32)
+    imgs = rng.uniform(0, 1, (2, 3, img, img)).astype(np.float32)
     with torch.no_grad():
-        _, ref_dec = ref_model(torch.tensor(img), training=False)
-        ref_dets = ref_general.post_process(ref_dec.clone(), conf_thres=0.25,
-                                            iou_thres=0.4)
+        _, ref_dec = ref_model(torch.tensor(imgs), training=False)
+        conf = _gap_threshold(ref_dec)
+        ref_dets = ref_general.post_process(ref_dec.clone(), conf_thres=conf,
+                                            iou_thres=iou)
 
-    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode=mode, ver="yolov5")
+    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode=mode, ver=ver)
     variables = dict(model.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 64, 64, 3)), train=False))
     variables, _ = import_state_dict(ref_model.state_dict(), variables)
-    _, dec = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+    if deploy:
+        model, variables = fuse_for_inference(model, variables)
+    _, dec = model.apply(variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)),
                          train=False, decode=True)
-    dets = post_process(np.asarray(dec), conf_thres=0.25, iou_thres=0.4)
+    dets = post_process(np.asarray(dec), conf_thres=conf, iou_thres=iou)
+    return dets, [d.numpy() for d in ref_dets], np.asarray(dec)
 
-    # Random weights produce groups of bitwise-identical confidences (dozens
-    # of saturated cells decode interchangeable boxes), and greedy NMS on
-    # exact ties is order-dependent — both outcomes are equally valid.  The
-    # precise parity claim: every disagreement is attributable to a conf
-    # tie; all non-tied detections must match exactly.
+
+def _assert_detections_match(dets, ref_dets, dec_np, max_count_slack,
+                             round_dp=3):
     assert len(dets) == len(ref_dets)
     total = 0
-    dec_np = np.asarray(dec)
     for b, (got, want) in enumerate(zip(dets, ref_dets)):
-        want = want.numpy()
         total += len(got)
-        assert abs(len(got) - len(want)) <= max(3, 0.05 * len(want)), (
+        assert abs(len(got) - len(want)) <= max_count_slack, (
             len(got), len(want))
-        # conf values occurring more than once in this image's candidates
+        # conf values occurring more than once in this image's candidates:
+        # greedy NMS on exact ties is order-dependent, both outcomes valid
         cand_conf = dec_np[b][:, 5] * dec_np[b][:, 6:].max(-1)
         u, c = np.unique(cand_conf.astype(np.float32), return_counts=True)
         tied = set(u[c > 1].tolist())
 
-        g_rows = {tuple(np.round(r, 3)) for r in got}
-        w_rows = {tuple(np.round(r, 3)) for r in want}
+        g_rows = {tuple(np.round(r, round_dp)) for r in got}
+        w_rows = {tuple(np.round(r, round_dp)) for r in want}
         for row in g_rows ^ w_rows:
             assert np.float32(row[5]) in tied or any(
-                abs(t - row[5]) < 1e-3 for t in tied
+                abs(t - row[5]) < 10.0 ** -round_dp for t in tied
             ), f"non-tied detection disagrees: {row}"
     assert total > 0, "test vacuous: no detections above threshold"
+
+
+@pytest.mark.parametrize("ver,mode,img,deploy", [
+    ("yolov5", "csl", 96, False),
+    ("yolov5", "kfiou", 96, False),
+    ("yolov4", "csl", 128, False),
+    ("yolov7", "csl", 128, True),   # through the deploy-fused graph
+    ("yolov7", "kfiou", 128, False),
+])
+def test_detections_match_reference(ver, mode, img, deploy):
+    dets, ref_dets, dec_np = _run_pair(mode, ver, img, deploy)
+    # calibrated BN keeps confidences unsaturated: at most 1 tie-flip
+    _assert_detections_match(dets, ref_dets, dec_np, max_count_slack=1,
+                             round_dp=2 if deploy else 3)
+
+
+@pytest.mark.slow
+def test_detections_match_reference_416():
+    """The BASELINE config-1 image size (416px, yolov5+CSL)."""
+    dets, ref_dets, dec_np = _run_pair("csl", "yolov5", 416, False)
+    _assert_detections_match(dets, ref_dets, dec_np, max_count_slack=1)

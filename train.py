@@ -245,12 +245,21 @@ class Train:
                     pbar.set_description(desc)
 
             # ---- validation (train.py:225-228) ----
+            # Per-epoch eval runs the deploy-FUSED graph (BN folded,
+            # RepConv merged — exact to f32 rounding).  One model clone is
+            # reused across epochs so the jitted eval step stays cached;
+            # only the fused variables are rebuilt from the train state.
+            from ryolo_tpu.nn import fuse_variables
+
+            if not hasattr(self, "_eval_model"):
+                self._eval_model = model.clone(deploy=True)
             variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
+                         "batch_stats": state.batch_stats}  # for save_pth
             mp, mr, map50, map5095, total_val_loss = evaluate(
-                model, variables, loss_fn, data, hyp_cfg, csl,
-                args.img_size, args.batch_size * 2, conf_thres=0.001,
-                iou_thres=0.65, max_targets=args.max_targets, mesh=mesh,
+                self._eval_model, fuse_variables(variables), loss_fn, data,
+                hyp_cfg, csl, args.img_size, args.batch_size * 2,
+                conf_thres=0.001, iou_thres=0.65,
+                max_targets=args.max_targets, mesh=mesh,
             )
 
             for k in total_train_loss:
