@@ -22,7 +22,6 @@ from ryolo_tpu.nn.blocks import (
     Dtype,
     MaxConv,
     S2DStem,
-    S2DStemSingle,
 )
 
 
@@ -62,11 +61,9 @@ class Backbonev5(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        if self.deploy:  # exact S2D reshuffle of the 6x6 s2 stem conv
-            x = S2DStemSingle(64, act="swish", dtype=d,
-                              name="s2d_stem")(x, train)
-        else:
-            x = ConvBlock(64, 6, 2, "swish", dtype=d, name="cbs0")(x, train)
+        # (the 6x6 stride-2 stem is already a strided conv on the raw
+        # input — the v7/v4 S2D rewrite targets the stride-1 first conv)
+        x = ConvBlock(64, 6, 2, "swish", dtype=d, deploy=self.deploy, name="cbs0")(x, train)
         x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs1")(x, train)
         x = C3(128, 128, 3, dtype=d, deploy=self.deploy, name="csp1")(x, train)
         x = ConvBlock(256, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs2")(x, train)

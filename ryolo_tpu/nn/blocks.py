@@ -52,14 +52,6 @@ def upsample2x(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
-def space_to_depth2(x):
-    """NHWC 2x2 space-to-depth; channel index packs as ``(u*2+v)*C + k``."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
-    return x.reshape(b, h // 2, w // 2, 4 * c)
-
-
 class S2DStem(nn.Module):
     """Deploy-only exact space-to-depth reparametrization of a conv stem.
 
@@ -67,13 +59,13 @@ class S2DStem(nn.Module):
     full image resolution — on the MXU that occupies 3 of 128 lanes (the
     profiled v7 stem ran at 1.4 % utilization and cost ~18 % of the whole
     detect step including its input-layout copy).  This module computes the
-    SAME function as ``conv3x3s1(C0) -> silu -> conv3x3s2(C1) -> silu`` on
-    a 2×2 space-to-depth grid: the first conv becomes a 3×3 conv over 4·3
-    input / 4·C0 output channels at quarter resolution (its output is the
-    space-to-depth packing of the original), the second a 2×2 conv with
-    asymmetric (1,0) padding producing the original stride-2 output
-    exactly.  Kernels are scattered from the fused originals by
-    :func:`ryolo_tpu.nn.deploy` (tap map in ``_s2d_stem_kernels``).
+    SAME function as ``conv3x3s1(C0) -> act -> conv3x3s2(C1) -> act``: the
+    first conv becomes a 4×4 stride-2 conv with (1,2) padding whose 4·C0
+    output channels are the 2×2 space-to-depth packing of the original
+    stride-1 output (operating on the raw input — no device-side relayout
+    copies), the second a 2×2 conv with asymmetric (1,0) padding producing
+    the original stride-2 output exactly.  Kernels are scattered from the
+    fused originals by ``ryolo_tpu.nn.deploy._s2d_scatter_s1/_s2``.
     """
 
     c0: int  # original first-conv output channels
@@ -84,33 +76,16 @@ class S2DStem(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = ACTIVATIONS[self.act]
-        x = space_to_depth2(x)  # (B, H/2, W/2, 12)
-        x = nn.Conv(4 * self.c0, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=True, dtype=self.dtype, name="conv0")(x)
+        # conv0: 4x4 stride-2 pad (1,2) over the RAW input — computes the
+        # S2D packing of the original stride-1 conv's output directly, so
+        # no device-side space-to-depth relayout copies are needed
+        x = nn.Conv(4 * self.c0, (4, 4), strides=(2, 2),
+                    padding=[(1, 2), (1, 2)], use_bias=True,
+                    dtype=self.dtype, name="conv0")(x)
         x = f(x)
         x = nn.Conv(self.c1, (2, 2), padding=[(1, 0), (1, 0)],
                     use_bias=True, dtype=self.dtype, name="conv1")(x)
         return f(x)
-
-
-class S2DStemSingle(nn.Module):
-    """Deploy-only S2D form of a single 6x6 stride-2 stem conv (YOLOv5).
-
-    ``conv6x6s2(3->C)`` on the 2x2 S2D grid is EXACTLY a 3x3 stride-1 conv
-    over 12 channels — a pure kernel reshuffle (``W'[dp,dq,(u,v,k),c] =
-    W[2dp+u, 2dq+v, k, c]``), zero wasted taps, 4x the MXU lane occupancy.
-    """
-
-    c1: int
-    act: str = "swish"
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = space_to_depth2(x)
-        x = nn.Conv(self.c1, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=True, dtype=self.dtype, name="conv0")(x)
-        return ACTIVATIONS[self.act](x)
 
 
 class ConvBlock(nn.Module):

@@ -104,31 +104,28 @@ _V7_HEADS = (("ia1", "conv5", "im1"), ("ia2", "conv6", "im2"),
 
 
 def _s2d_scatter_s1(w: np.ndarray) -> np.ndarray:
-    """3x3 stride-1 conv kernel -> 3x3 kernel on the 2x2 S2D grid.
+    """3x3 stride-1 conv kernel -> 4x4 stride-2 kernel on the raw input.
 
-    ``out[2i+a, 2j+b, c] = Σ W[di,dj,k,c]·in[2i+a+di-1, ...]`` becomes
-    ``outS[i, j, (a,b,c)] = Σ K[dp,dq,(u,v,k),(a,b,c)]·inS[i+dp-1, ...]``
-    with ``2·dp + u = a + di + 1`` (tap zero when di falls outside 3x3).
-    Channel packing ``(u*2+v)*C + k`` matches ``blocks.space_to_depth2``.
+    ``out[2i+a, 2j+b, c] = Σ W[di,dj,k,c]·in[2i+a+di-1, ...]`` becomes a
+    4x4 stride-2 conv with (1,2) padding whose output channel ``(a*2+b)·C
+    + c`` is the 2x2 space-to-depth packing of the original output:
+    kernel tap ``s = a + di`` (zero where di falls outside 3x3).  Operating
+    on the raw input avoids any device-side S2D relayout copy.
     """
     kh, kw, cin, cout = w.shape
-    K = np.zeros((3, 3, 4 * cin, 4 * cout), np.float64)
-    for dp in range(3):
-        for u in range(2):
-            for a in range(2):
-                di = 2 * dp + u - a - 1
-                if not 0 <= di < kh:
-                    continue
-                for dq in range(3):
-                    for v in range(2):
-                        for b in range(2):
-                            dj = 2 * dq + v - b - 1
-                            if not 0 <= dj < kw:
-                                continue
-                            g_in = (u * 2 + v) * cin
-                            g_out = (a * 2 + b) * cout
-                            K[dp, dq, g_in:g_in + cin,
-                              g_out:g_out + cout] = w[di, dj]
+    K = np.zeros((4, 4, cin, 4 * cout), np.float64)
+    for s in range(4):
+        for a in range(2):
+            di = s - a
+            if not 0 <= di < kh:
+                continue
+            for t in range(4):
+                for b in range(2):
+                    dj = t - b
+                    if not 0 <= dj < kw:
+                        continue
+                    g_out = (a * 2 + b) * cout
+                    K[s, t, :, g_out:g_out + cout] = w[di, dj]
     return K
 
 
@@ -155,47 +152,21 @@ def _s2d_scatter_s2(w: np.ndarray) -> np.ndarray:
     return K
 
 
-def _s2d_reshuffle_k6s2(w: np.ndarray) -> np.ndarray:
-    """6x6 stride-2 conv kernel -> 3x3 stride-1 kernel on the S2D grid.
-
-    Pure tap reshuffle (zero waste): ``K[dp,dq,(u,v,k),c] = W[2dp+u,
-    2dq+v, k, c]`` — every original tap maps to exactly one S2D tap.
-    """
-    kh, kw, cin, cout = w.shape
-    K = np.zeros((3, 3, 4 * cin, cout), np.float64)
-    for dp in range(3):
-        for u in range(2):
-            for dq in range(3):
-                for v in range(2):
-                    g_in = (u * 2 + v) * cin
-                    K[dp, dq, g_in:g_in + cin, :] = w[2 * dp + u, 2 * dq + v]
-    return K
-
-
 def _maybe_s2d_stem(fused_backbone: dict) -> None:
     """Rewrite the detector stem on the 2x2 space-to-depth grid (in place).
 
-    The 3-input-channel conv at full image resolution runs at ~1.4 % MXU
-    utilization (3 of 128 lanes); its S2D form is the standard exact
-    reparametrization (see blocks.S2DStem).  Keyed on the stem kernel
-    shapes: v7 ``cbs0``+``cbs1`` and v4 ``cbm0``+``cbm1`` (3x3 s1 3->32 +
-    3x3 s2 32->64) use the two-conv form; v5 ``cbs0`` (6x6 s2 3->64) is a
-    pure kernel reshuffle.
+    The 3-input-channel stride-1 conv at full image resolution runs at
+    ~1.4 % MXU utilization (32 of 128 output lanes, 800² positions); its
+    S2D form is the standard exact reparametrization (see blocks.S2DStem).
+    Keyed on the stem kernel shapes: v7 ``cbs0``+``cbs1`` and v4
+    ``cbm0``+``cbm1`` (3x3 s1 3->32 + 3x3 s2 32->64).  The v5 6x6
+    stride-2 stem is already a strided conv on the raw input — untouched.
     """
     for n0, n1 in (("cbs0", "cbs1"), ("cbm0", "cbm1")):
-        if n0 not in fused_backbone:
+        if n0 not in fused_backbone or n1 not in fused_backbone:
             continue
         k0 = fused_backbone[n0]["conv"]["kernel"]
         b0 = fused_backbone[n0]["conv"]["bias"]
-        if k0.shape == (6, 6, 3, 64):  # v5 single-conv stem
-            fused_backbone["s2d_stem"] = {
-                "conv0": {"kernel": np.float32(_s2d_reshuffle_k6s2(_np64(k0))),
-                          "bias": np.float32(b0)},
-            }
-            del fused_backbone[n0]
-            return
-        if n1 not in fused_backbone:
-            continue
         k1 = fused_backbone[n1]["conv"]["kernel"]
         if k0.shape != (3, 3, 3, 32) or k1.shape != (3, 3, 32, 64):
             continue
