@@ -57,8 +57,10 @@ def decode_csl(outs: Sequence[jax.Array], anchors: Sequence[jax.Array],
     decoded = []
     for out, anc, stride in zip(outs, anchors, strides):
         b, na, gh, gw, nf = out.shape
-        raw = out.astype(jnp.float32)
-        y = jax.nn.sigmoid(raw[..., :5 + nc])  # box/obj/cls channels only
+        # upcast only the 5+nc box/obj/cls channels (f32 sigmoid); the
+        # full-tensor f32 cast would materialize ~0.5 GB of head maps that
+        # the decode never reads at full precision
+        y = jax.nn.sigmoid(out[..., :5 + nc].astype(jnp.float32))
         grid = _grid_xy(gh, gw, jnp.float32)  # (gh, gw, 2)
         anc = jnp.asarray(anc, jnp.float32)  # (na, 2)
 
@@ -66,11 +68,12 @@ def decode_csl(outs: Sequence[jax.Array], anchors: Sequence[jax.Array],
         pwh = (y[..., 2:4] * 2) ** 2 * anc[None, :, None, None, :] * stride
         pconf = y[..., 4:5]
         pcls = y[..., 5:5 + nc]
-        # sigmoid is monotonic: argmax over the 180 raw bin logits equals
+        # sigmoid is monotonic: argmax over the raw bin logits equals
         # argmax over their sigmoids — skips 180/(nc+185) of the decode's
         # transcendental work (the reference applies sigmoid to everything,
-        # model/yololayer.py:40,48; the angle produced is identical)
-        pa = raw[..., 5 + nc:]
+        # model/yololayer.py:40,48); computed in the native dtype (the
+        # bf16->f32 cast is exact, so the argmax index is identical)
+        pa = out[..., 5 + nc:]
         ptheta = jnp.argmax(pa, axis=-1, keepdims=True).astype(jnp.float32)
         ptheta = (ptheta - 90.0) / 180.0 * jnp.pi
 

@@ -88,15 +88,16 @@ class Yolo(nn.Module):
         d3, d4, d5 = self.backbone(images, train)
         x6, x5, x4 = self.neck(d5, d4, d3, train)
         # transpose in the compute dtype (half the HBM traffic in bf16),
-        # upcast after — the raw-head contract stays float32
-        outs = tuple(
-            reshape_head(x, self.na, self.nf).astype(jnp.float32)
-            for x in (x6, x5, x4)
-        )
+        # upcast after — the raw-head contract stays float32.  The decode
+        # reads the PRE-cast tensors: it upcasts only the channels it needs
+        # (heads.py), and when the caller drops the raw outputs jit
+        # dead-code-eliminates the full-tensor f32 casts entirely.
+        raw = tuple(reshape_head(x, self.na, self.nf) for x in (x6, x5, x4))
+        outs = tuple(o.astype(jnp.float32) for o in raw)
         if not decode:
             return outs
         if self.mode == "csl":
-            dec = decode_csl(outs, self.anchors, STRIDES, self.n_classes)
+            dec = decode_csl(raw, self.anchors, STRIDES, self.n_classes)
         else:
-            dec = decode_kfiou(outs, self.anchors, STRIDES, self.n_classes)
+            dec = decode_kfiou(raw, self.anchors, STRIDES, self.n_classes)
         return outs, dec
