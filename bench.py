@@ -32,7 +32,7 @@ IMG = 800
 NC = 16  # DOTA
 
 
-def build_model(dtype_name: str, deploy: bool):
+def build_model(dtype_name: str, deploy: bool, mode: str = "csl"):
     import jax
     import jax.numpy as jnp
     import flax
@@ -44,7 +44,7 @@ def build_model(dtype_name: str, deploy: bool):
                     [142, 110, 192, 243, 459, 401]],
         "angles": [-90, -60, -30, 0, 30, 60],
     }
-    model = Yolo(n_classes=NC, model_config=cfg, mode="csl", ver="yolov7",
+    model = Yolo(n_classes=NC, model_config=cfg, mode=mode, ver="yolov7",
                  dtype=jnp.float32)
     # init at a tiny size: conv/BN param shapes are image-size independent,
     # and eager init at 800px costs minutes on this host
@@ -57,10 +57,12 @@ def build_model(dtype_name: str, deploy: bool):
     # the post-process load is realistic (a few boxes per image).
     params = flax.core.unfreeze(variables["params"]) if hasattr(
         flax.core, "unfreeze") else dict(variables["params"])
-    nf = NC + 185
+    na = 3 if mode == "csl" else 18
+    nf = NC + 185 if mode == "csl" else NC + 6
+    obj_ch = 4 if mode == "csl" else 5  # layout per heads.py
     for head in ("conv5", "conv6", "conv7"):
         b = params["neck"][head]["conv"]["bias"]
-        idx = np.arange(3) * nf + 4  # obj channel per anchor
+        idx = np.arange(na) * nf + obj_ch  # obj channel per anchor
         params["neck"][head]["conv"]["bias"] = b.at[jnp.asarray(idx)].set(-6.0)
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
 
@@ -270,6 +272,7 @@ def main():
     global BATCH, IMG
     parser = argparse.ArgumentParser()
     parser.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    parser.add_argument("--mode", choices=["csl", "kfiou"], default="csl")
     parser.add_argument("--no-deploy", action="store_true",
                         help="benchmark the unfused training-structure graph")
     parser.add_argument("--flops", action="store_true",
@@ -298,7 +301,8 @@ def main():
 
     BATCH, IMG = args.batch, args.img
 
-    model, variables = build_model(args.dtype, not args.no_deploy)
+    model, variables = build_model(args.dtype, not args.no_deploy,
+                                   mode=args.mode)
 
     if args.flops:
         def fwd(images):
@@ -369,7 +373,7 @@ def main():
     nms_eval = bench_nms(n_valid=5000)
 
     print(json.dumps({
-        "metric": "images_per_sec_chip_800px_detect_yolov7_csl",
+        "metric": f"images_per_sec_chip_{IMG}px_detect_yolov7_{args.mode}",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
