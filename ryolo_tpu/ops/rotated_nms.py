@@ -107,16 +107,32 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     sboxes = jnp.zeros((k_pad, 5), jnp.float32).at[:k].set(sorted_boxes)
     svalid = jnp.zeros((k_pad,), bool).at[:k].set(sorted_valid)
 
+    # Kept-buffer tiling: the buffer is allocated at max_keep slots but
+    # fills gradually — clipping every chunk against all m slots wastes
+    # most of the eval-load VPU time.  A dynamic-trip-count loop visits
+    # only the tiles that contain live entries (occupancy-proportional
+    # work; early chunks clip against ~one tile).
+    tile = min(256, m)
+    m_pad = ((m + tile - 1) // tile) * tile
+
     def body(ci, carry):
         kept_boxes, kept_valid, count, keep = carry
         start = ci * c
         cboxes = jax.lax.dynamic_slice_in_dim(sboxes, start, c, 0)  # (c, 5)
         cvalid = jax.lax.dynamic_slice_in_dim(svalid, start, c, 0)  # (c,)
 
-        # Batched suppression geometry: chunk vs kept buffer, chunk vs chunk.
-        iou_kept = _iou_block(cboxes, kept_boxes, pallas)  # (c, m)
-        sup_by_kept = jnp.any(
-            kept_valid[None, :] & (iou_kept > iou_threshold), axis=1
+        # Batched suppression geometry: chunk vs live kept tiles, then
+        # chunk vs chunk.
+        n_tiles = (count + (tile - 1)) // tile
+
+        def tile_body(ti, sup):
+            tb = jax.lax.dynamic_slice_in_dim(kept_boxes, ti * tile, tile, 0)
+            tv = jax.lax.dynamic_slice_in_dim(kept_valid, ti * tile, tile, 0)
+            iou = _iou_block(cboxes, tb, pallas)  # (c, tile)
+            return sup | jnp.any(tv[None, :] & (iou > iou_threshold), axis=1)
+
+        sup_by_kept = jax.lax.fori_loop(
+            0, n_tiles, tile_body, jnp.zeros((c,), bool)
         )  # (c,)
         iou_self = _iou_block(cboxes, cboxes, pallas)  # (c, c)
         # sup[j, i]: earlier chunk element j suppresses later element i
@@ -149,7 +165,7 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
         keep_chunk = keep_chunk & (rank < m)
 
         # Append kept chunk rows to the buffer.
-        slot = jnp.where(keep_chunk, rank, m)  # OOB -> dropped
+        slot = jnp.where(keep_chunk, rank, m_pad)  # OOB -> dropped
         kept_boxes = kept_boxes.at[slot].set(cboxes, mode="drop")
         kept_valid = kept_valid.at[slot].set(True, mode="drop")
         count = count + jnp.sum(keep_chunk, dtype=jnp.int32)
@@ -157,8 +173,8 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
         return kept_boxes, kept_valid, count, keep
 
     init = (
-        jnp.zeros((m, 5), jnp.float32),
-        jnp.zeros((m,), bool),
+        jnp.zeros((m_pad, 5), jnp.float32),
+        jnp.zeros((m_pad,), bool),
         jnp.zeros((), jnp.int32),
         jnp.zeros((k_pad,), bool),
     )
