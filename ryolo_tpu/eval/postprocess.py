@@ -32,15 +32,17 @@ MAX_NMS = 5000    # lib/general.py:148
 MAX_DET = 1500    # lib/general.py:149
 
 
-@functools.partial(jax.jit, static_argnames=("max_nms", "max_det"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_nms", "max_det", "use_topk"))
 def post_process_fixed(predictions: jax.Array, conf_thres: float,
                        iou_thres: float, max_nms: int = MAX_NMS,
-                       max_det: int = MAX_DET):
+                       max_det: int = MAX_DET, use_topk: bool | None = None):
     """Batched fixed-shape post-process.
 
     Args:
       predictions: ``(B, N, nc+6)`` decoded rows ``[x, y, w, h, θ(rad),
         obj, cls...]`` (the jit-fused decode output).
+      use_topk: candidate-selection strategy (None = by shape, see below).
     Returns:
       dets:  ``(B, max_det, 7)`` rows ``[x, y, w, h, θ(rad), conf, cls]``
       valid: ``(B, max_det)`` bool.
@@ -54,15 +56,26 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
     cls_id = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
     sel = jnp.where(conf > conf_thres, conf, -1.0)
 
-    # Descending stable sort by score, carrying the box columns as sort
-    # payload.  A single variadic sort replaces top_k + a batched row
-    # gather — dynamic row gathers of this size are pathologically slow on
-    # TPU (~60 ms/batch measured), the sort is ~free.
+    # Candidate selection.  Near N ≈ max_nms a single variadic stable sort
+    # carrying the box columns as payload is ~free (and dynamic row gathers
+    # of (N, 7) rows were measured pathologically slow on TPU, ~60
+    # ms/batch).  When N ≫ max_nms (the 18-anchor KFIoU head decodes ~6×
+    # more rows), top_k + per-COLUMN gathers of only k entries is cheaper
+    # than sorting the full width with 7 payloads.  Both orderings are
+    # identical: descending score, ties by candidate index.
     payload = [predictions[..., i] for i in range(5)] + [cls_id]
-    sorted_all = jax.lax.sort([-sel] + payload, dimension=-1, num_keys=1,
-                              is_stable=True)
-    top_scores = -sorted_all[0][:, :k]
-    bx, by, bw, bh, bt, tcls = (o[:, :k] for o in sorted_all[1:])
+    if use_topk is None:
+        use_topk = N > 2 * k
+    if use_topk:
+        top_scores, idx = jax.lax.top_k(sel, k)  # (B, k) desc, ties by idx
+        bx, by, bw, bh, bt, tcls = (
+            jnp.take_along_axis(o, idx, axis=1) for o in payload
+        )
+    else:
+        sorted_all = jax.lax.sort([-sel] + payload, dimension=-1, num_keys=1,
+                                  is_stable=True)
+        top_scores = -sorted_all[0][:, :k]
+        bx, by, bw, bh, bt, tcls = (o[:, :k] for o in sorted_all[1:])
     tvalid = top_scores > 0.0  # only above-threshold rows
 
     # class offset + degrees for suppression geometry (lib/general.py:171-174)

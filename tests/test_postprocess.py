@@ -108,3 +108,29 @@ def test_max_det_cap():
     assert out[0].shape == (10, 7)
     # kept are the top-10 by conf, descending
     assert (np.diff(out[0][:, 5]) <= 1e-6).all()
+
+
+def test_topk_and_sort_selection_identical():
+    """The two candidate-selection strategies must agree bit-for-bit
+    (same ordering contract: descending score, ties by candidate index)."""
+    import jax.numpy as jnp
+
+    from ryolo_tpu.eval.postprocess import post_process_fixed
+
+    rng = np.random.default_rng(5)
+    B, N, nc = 2, 2000, 3
+    pred = np.zeros((B, N, nc + 6), np.float32)
+    pred[..., :2] = rng.uniform(0, 600, (B, N, 2))
+    pred[..., 2:4] = rng.uniform(5, 80, (B, N, 2))
+    pred[..., 4] = rng.uniform(-1.5, 1.5, (B, N))
+    pred[..., 5] = rng.uniform(0, 1, (B, N))
+    # quantized class probs force plenty of exact score ties
+    pred[..., 6:] = np.round(rng.uniform(0, 1, (B, N, nc)), 1)
+
+    kw = dict(max_nms=500, max_det=100)
+    d1, v1 = post_process_fixed(jnp.asarray(pred), 0.05, 0.4,
+                                use_topk=False, **kw)
+    d2, v2 = post_process_fixed(jnp.asarray(pred), 0.05, 0.4,
+                                use_topk=True, **kw)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
