@@ -32,7 +32,16 @@ IMG = 800
 NC = 16  # DOTA
 
 
-def build_model(dtype_name: str, deploy: bool, mode: str = "csl"):
+# per-scale detection-head conv names (see ryolo_tpu/nn/necks.py)
+HEAD_CONVS = {
+    "yolov4": ("conv22", "conv30", "conv38"),
+    "yolov5": ("conv15", "conv17", "conv19"),
+    "yolov7": ("conv5", "conv6", "conv7"),
+}
+
+
+def build_model(dtype_name: str, deploy: bool, mode: str = "csl",
+                ver: str = "yolov7"):
     import jax
     import jax.numpy as jnp
     import flax
@@ -44,7 +53,7 @@ def build_model(dtype_name: str, deploy: bool, mode: str = "csl"):
                     [142, 110, 192, 243, 459, 401]],
         "angles": [-90, -60, -30, 0, 30, 60],
     }
-    model = Yolo(n_classes=NC, model_config=cfg, mode=mode, ver="yolov7",
+    model = Yolo(n_classes=NC, model_config=cfg, mode=mode, ver=ver,
                  dtype=jnp.float32)
     # init at a tiny size: conv/BN param shapes are image-size independent,
     # and eager init at 800px costs minutes on this host
@@ -60,7 +69,7 @@ def build_model(dtype_name: str, deploy: bool, mode: str = "csl"):
     na = 3 if mode == "csl" else 18
     nf = NC + 185 if mode == "csl" else NC + 6
     obj_ch = 4 if mode == "csl" else 5  # layout per heads.py
-    for head in ("conv5", "conv6", "conv7"):
+    for head in HEAD_CONVS[ver]:
         b = params["neck"][head]["conv"]["bias"]
         idx = np.arange(na) * nf + obj_ch  # obj channel per anchor
         params["neck"][head]["conv"]["bias"] = b.at[jnp.asarray(idx)].set(-6.0)
@@ -273,6 +282,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     parser.add_argument("--mode", choices=["csl", "kfiou"], default="csl")
+    parser.add_argument("--ver", choices=["yolov4", "yolov5", "yolov7"],
+                        default="yolov7")
     parser.add_argument("--no-deploy", action="store_true",
                         help="benchmark the unfused training-structure graph")
     parser.add_argument("--flops", action="store_true",
@@ -302,7 +313,7 @@ def main():
     BATCH, IMG = args.batch, args.img
 
     model, variables = build_model(args.dtype, not args.no_deploy,
-                                   mode=args.mode)
+                                   mode=args.mode, ver=args.ver)
 
     if args.flops:
         def fwd(images):
@@ -373,7 +384,7 @@ def main():
     nms_eval = bench_nms(n_valid=5000)
 
     print(json.dumps({
-        "metric": f"images_per_sec_chip_{IMG}px_detect_yolov7_{args.mode}",
+        "metric": f"images_per_sec_chip_{IMG}px_detect_{args.ver}_{args.mode}",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
