@@ -296,7 +296,7 @@ def main():
     parser.add_argument("--batch", type=int, default=BATCH)
     parser.add_argument("--profile", type=str, default="",
                         help="dump a jax profiler trace to this directory")
-    parser.add_argument("--iters", type=int, default=24)
+    parser.add_argument("--iters", type=int, default=48)
     args = parser.parse_args()
 
     import jax
