@@ -84,8 +84,24 @@ class Detect:
         start = time.time()
         starts = list(range(0, len(dataset), bs))
         with ThreadPoolExecutor(max_workers=2) as pool:
-            batches = pool.map(load_batch, starts)  # prefetched host I/O
-            for paths, images in batches:
+            # Bounded prefetch: at most DEPTH decoded batches in flight, so
+            # host memory stays O(DEPTH·batch) however large the folder is
+            # (pool.map would eagerly queue every batch with no consumer
+            # backpressure).
+            DEPTH = 2
+
+            def batches():
+                pending = [pool.submit(load_batch, s)
+                           for s in starts[:DEPTH]]
+                nxt = DEPTH
+                while pending:
+                    fut = pending.pop(0)
+                    if nxt < len(starts):
+                        pending.append(pool.submit(load_batch, starts[nxt]))
+                        nxt += 1
+                    yield fut.result()
+
+            for paths, images in batches():
                 images = jnp.asarray(images)
                 t0 = time.time()
                 decoded, dets, valid = infer(variables, images)

@@ -9,6 +9,7 @@ gather to host for AP computation (SURVEY.md §7 step 7).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -20,9 +21,15 @@ from ryolo_tpu.eval.metrics import calculate_eval_stats, get_batch_statistics
 from ryolo_tpu.eval.postprocess import post_process_fixed
 from ryolo_tpu.utils.logger import logger
 
-# (id(model), id(loss_fn), thresholds...) -> jitted step; keeps the traced
-# program alive across per-epoch evaluate() calls so epoch 2+ skips retrace.
-_STEP_CACHE: Dict[tuple, Callable] = {}
+# (id(model), id(loss_fn), thresholds...) -> (model, loss_fn, step).
+# Keeps the traced program alive across per-epoch evaluate() calls so epoch
+# 2+ skips retrace.  The value holds STRONG references to the keyed objects:
+# id() keys are only valid while their object is alive, so each entry pins
+# its model/loss_fn — a new object can never reuse a cached id (the id-reuse
+# stale-hit hazard of bare id keys, VERDICT r2 weak #5).  Bounded LRU so the
+# pins don't accumulate in long-lived library use.
+_STEP_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_STEP_CACHE_MAX = 8
 
 
 def padded_targets_to_rows(tgt, mask, img_size: int) -> np.ndarray:
@@ -49,22 +56,27 @@ def padded_targets_to_rows(tgt, mask, img_size: int) -> np.ndarray:
 def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
     key = (id(model), id(loss_fn), float(conf_thres), float(iou_thres),
            int(max_nms), int(max_det))
-    step = _STEP_CACHE.get(key)
-    if step is None:
-        @jax.jit
-        def step(variables, arrays):
-            outputs, decoded = model.apply(variables, arrays["images"],
-                                           train=False, decode=True)
-            dets, valid = post_process_fixed(
-                decoded, float(conf_thres), float(iou_thres),
-                max_nms=max_nms, max_det=max_det,
-            )
-            items = {}
-            if loss_fn is not None:
-                _, items = loss_fn(outputs, arrays)
-            return dets, valid, items
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        _STEP_CACHE.move_to_end(key)
+        return hit[2]
 
-        _STEP_CACHE[key] = step
+    @jax.jit
+    def step(variables, arrays):
+        outputs, decoded = model.apply(variables, arrays["images"],
+                                       train=False, decode=True)
+        dets, valid = post_process_fixed(
+            decoded, float(conf_thres), float(iou_thres),
+            max_nms=max_nms, max_det=max_det,
+        )
+        items = {}
+        if loss_fn is not None:
+            _, items = loss_fn(outputs, arrays)
+        return dets, valid, items
+
+    _STEP_CACHE[key] = (model, loss_fn, step)
+    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+        _STEP_CACHE.popitem(last=False)
     return step
 
 

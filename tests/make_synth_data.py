@@ -28,7 +28,7 @@ def make_split(out_dir, n_images, img_size, rng, w_range=(0.08, 0.18),
         for _ in range(n_obj):
             cls = int(rng.integers(0, 2))
             w = float(rng.uniform(*w_range) * img_size)
-            h = w * float(rng.uniform(*ratio))
+            h = min(w * float(rng.uniform(*ratio)), img_size * 0.45)
             x = float(rng.uniform(h, img_size - h))
             y = float(rng.uniform(h, img_size - h))
             t = float(rng.uniform(-np.pi / 2, np.pi / 2 - 1e-3))

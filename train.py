@@ -319,8 +319,7 @@ def build_parser():
                         help="resume from weights/<model_name>/last.state")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of one train step")
-    parser.add_argument("--dtype", default="f32", nargs="?",
-                        choices=["f32", "bf16"],
+    parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                         help="compute dtype (params stay f32)")
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel mesh size (devices)")
