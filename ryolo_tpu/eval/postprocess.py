@@ -32,40 +32,25 @@ MAX_NMS = 5000    # lib/general.py:148
 MAX_DET = 1500    # lib/general.py:149
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_nms", "max_det", "use_topk"))
-def post_process_fixed(predictions: jax.Array, conf_thres: float,
-                       iou_thres: float, max_nms: int = MAX_NMS,
-                       max_det: int = MAX_DET, use_topk: bool | None = None):
-    """Batched fixed-shape post-process.
+# Static candidate cap of the count-conditioned fast path: when every image
+# has at most this many above-threshold rows (always true at detect-CLI
+# confidences), selection/NMS/compaction run at this width instead of
+# max_nms — exactly the same result, ~10x less sort/buffer work.
+SMALL_K = 512
 
-    Args:
-      predictions: ``(B, N, nc+6)`` decoded rows ``[x, y, w, h, θ(rad),
-        obj, cls...]`` (the jit-fused decode output).
-      use_topk: candidate-selection strategy (None = by shape, see below).
-    Returns:
-      dets:  ``(B, max_det, 7)`` rows ``[x, y, w, h, θ(rad), conf, cls]``
-      valid: ``(B, max_det)`` bool.
+
+def _select_nms_compact(payload, sel, k: int, iou_thres, max_det: int,
+                        use_topk: bool):
+    """Top-k select + rotated NMS + compaction at static width ``k``.
+
+    Candidate selection: near N ≈ k a single variadic stable sort carrying
+    the box columns as payload is ~free (and dynamic row gathers of (N, 7)
+    rows were measured pathologically slow on TPU, ~60 ms/batch).  When
+    N ≫ k (the 18-anchor KFIoU head decodes ~6× more rows, or the SMALL_K
+    fast path), top_k + per-COLUMN gathers of only k entries is cheaper
+    than sorting the full width with 7 payloads.  Both orderings are
+    identical: descending score, ties by candidate index.
     """
-    B, N, _ = predictions.shape
-    k = min(max_nms, N)
-
-    obj = predictions[..., 5]
-    cls_scores = predictions[..., 6:] * obj[..., None]
-    conf = jnp.max(cls_scores, axis=-1)
-    cls_id = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
-    sel = jnp.where(conf > conf_thres, conf, -1.0)
-
-    # Candidate selection.  Near N ≈ max_nms a single variadic stable sort
-    # carrying the box columns as payload is ~free (and dynamic row gathers
-    # of (N, 7) rows were measured pathologically slow on TPU, ~60
-    # ms/batch).  When N ≫ max_nms (the 18-anchor KFIoU head decodes ~6×
-    # more rows), top_k + per-COLUMN gathers of only k entries is cheaper
-    # than sorting the full width with 7 payloads.  Both orderings are
-    # identical: descending score, ties by candidate index.
-    payload = [predictions[..., i] for i in range(5)] + [cls_id]
-    if use_topk is None:
-        use_topk = N > 2 * k
     if use_topk:
         top_scores, idx = jax.lax.top_k(sel, k)  # (B, k) desc, ties by idx
         bx, by, bw, bh, bt, tcls = (
@@ -110,6 +95,52 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
         dets = jnp.pad(dets, ((0, 0), (0, max_det - md), (0, 0)))
         out_valid = jnp.pad(out_valid, ((0, 0), (0, max_det - md)))
     return dets, out_valid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_nms", "max_det", "use_topk"))
+def post_process_fixed(predictions: jax.Array, conf_thres: float,
+                       iou_thres: float, max_nms: int = MAX_NMS,
+                       max_det: int = MAX_DET, use_topk: bool | None = None):
+    """Batched fixed-shape post-process.
+
+    Args:
+      predictions: ``(B, N, nc+6)`` decoded rows ``[x, y, w, h, θ(rad),
+        obj, cls...]`` (the jit-fused decode output).
+      use_topk: candidate-selection strategy (None = by shape, see
+        ``_select_nms_compact``).
+    Returns:
+      dets:  ``(B, max_det, 7)`` rows ``[x, y, w, h, θ(rad), conf, cls]``
+      valid: ``(B, max_det)`` bool.
+    """
+    B, N, _ = predictions.shape
+    k = min(max_nms, N)
+
+    obj = predictions[..., 5]
+    cls_scores = predictions[..., 6:] * obj[..., None]
+    conf = jnp.max(cls_scores, axis=-1)
+    cls_id = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
+    sel = jnp.where(conf > conf_thres, conf, -1.0)
+
+    payload = [predictions[..., i] for i in range(5)] + [cls_id]
+    if use_topk is None:
+        use_topk = N > 2 * k
+
+    if k <= SMALL_K:
+        return _select_nms_compact(payload, sel, k, iou_thres, max_det,
+                                   use_topk)
+    # Count-conditioned fast path: when no image exceeds SMALL_K
+    # above-threshold candidates, the top-SMALL_K already contains every
+    # candidate NMS can see — identical result at a fraction of the
+    # sort/buffer width.  lax.cond keeps one fixed output shape.
+    n_max = jnp.max(jnp.sum(sel > 0.0, axis=1))
+    return jax.lax.cond(
+        n_max <= SMALL_K,
+        lambda: _select_nms_compact(payload, sel, SMALL_K, iou_thres,
+                                    max_det, True),
+        lambda: _select_nms_compact(payload, sel, k, iou_thres, max_det,
+                                    use_topk),
+    )
 
 
 def post_process(predictions, conf_thres: float = 0.5,

@@ -75,6 +75,13 @@ class S2DStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # The packed-border synthesis is exact only when the stride-2 grid
+        # tiles the input; odd sizes would silently change border activations
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(
+                f"S2DStem requires even spatial dims, got {x.shape[1:3]} "
+                "(detector inputs are multiples of 32)"
+            )
         f = ACTIVATIONS[self.act]
         # conv0: 4x4 stride-2 pad (1,2) over the RAW input — computes the
         # S2D packing of the original stride-1 conv's output directly, so
@@ -128,6 +135,27 @@ class ConvBlock(nn.Module):
         return ACTIVATIONS[self.act](x)
 
 
+def parallel_cv12(x, h1: int, h2: int, act: str, train: bool, deploy: bool,
+                  dtype, name1: str = "cv1", name2: str = "cv2"):
+    """Two parallel same-input 1×1 convs, packed into ONE at deploy time.
+
+    Several blocks (ELAN1/ELAN2 ``model/utils.py:98-143``, CSP ``:49-64``,
+    C3 ``:83-95``, SPPCSPC ``:264-282``) open with two 1×1 convs over the
+    SAME input.  Training keeps them separate (checkpoint layout parity);
+    with ``deploy=True`` they become one conv with channel-concatenated
+    kernels (exact — conv is linear in the output-channel axis), so the
+    input is read once and a 64-lane pair fills all 128 MXU lanes.
+    Params are produced by :func:`ryolo_tpu.nn.deploy.fuse_variables`.
+    """
+    if deploy:
+        y = ConvBlock(h1 + h2, 1, 1, act, dtype=dtype, deploy=True,
+                      name=f"{name1}{name2[-1]}")(x, train)
+        return y[..., :h1], y[..., h1:]
+    a = ConvBlock(h1, 1, 1, act, dtype=dtype, name=name1)(x, train)
+    b = ConvBlock(h2, 1, 1, act, dtype=dtype, name=name2)(x, train)
+    return a, b
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 with residual iff shortcut and c_in == c_out (``:35-46``)."""
 
@@ -164,16 +192,14 @@ class CSP(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
-        y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype,
-                       deploy=self.deploy, name="cv1")(x, train)
+        y1, y2 = parallel_cv12(x, c_, c_, "mish", train, self.deploy,
+                               self.dtype)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, e=1.0, act="mish",
                             dtype=self.dtype, deploy=self.deploy,
                             name=f"m_{i}")(y1, train)
         y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype,
                        deploy=self.deploy, name="cv3")(y1, train)
-        y2 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype,
-                       deploy=self.deploy, name="cv2")(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBlock(self.c2, 1, 1, "mish", dtype=self.dtype,
                          deploy=self.deploy, name="cv4")(y, train)
@@ -214,11 +240,11 @@ class C3(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
         kw = dict(dtype=self.dtype, deploy=self.deploy)
-        y1 = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x, train)
+        y1, y2 = parallel_cv12(x, c_, c_, "swish", train, self.deploy,
+                               self.dtype)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, e=1.0, act="swish",
                             name=f"m_{i}", **kw)(y1, train)
-        y2 = ConvBlock(c_, 1, 1, "swish", name="cv2", **kw)(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBlock(self.c2, 1, 1, "swish", name="cv3", **kw)(y, train)
 
@@ -238,8 +264,8 @@ class ELAN1(nn.Module):
         h1 = int(self.c1 * self.e1)
         h2 = int(self.c1 * self.e2)
         kw = dict(dtype=self.dtype, deploy=self.deploy)
-        x1 = ConvBlock(h1, 1, 1, "swish", name="cv1", **kw)(x, train)
-        x2 = ConvBlock(h1, 1, 1, "swish", name="cv2", **kw)(x, train)
+        x1, x2 = parallel_cv12(x, h1, h1, "swish", train, self.deploy,
+                               self.dtype)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
         x4 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x3, train)
@@ -263,8 +289,8 @@ class ELAN2(nn.Module):
         h1 = int(self.c1 * self.e1)
         h2 = int(self.c1 * self.e2)
         kw = dict(dtype=self.dtype, deploy=self.deploy)
-        x1 = ConvBlock(h1, 1, 1, "swish", name="cv1", **kw)(x, train)
-        x2 = ConvBlock(h1, 1, 1, "swish", name="cv2", **kw)(x, train)
+        x1, x2 = parallel_cv12(x, h1, h1, "swish", train, self.deploy,
+                               self.dtype)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
         x4 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
         x5 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x4, train)
@@ -428,13 +454,13 @@ class SPPCSPC(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = int(2 * self.c2 * self.e)
         kw = dict(dtype=self.dtype, deploy=self.deploy)
-        x1 = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x, train)
+        x1, y2 = parallel_cv12(x, c_, c_, "swish", train, self.deploy,
+                               self.dtype)
         x1 = ConvBlock(c_, 3, 1, "swish", name="cv3", **kw)(x1, train)
         x1 = ConvBlock(c_, 1, 1, "swish", name="cv4", **kw)(x1, train)
         y1 = jnp.concatenate([x1] + [max_pool_same(x1, k) for k in self.pools],
                              axis=-1)
         y1 = ConvBlock(c_, 1, 1, "swish", name="cv5", **kw)(y1, train)
         y1 = ConvBlock(c_, 3, 1, "swish", name="cv6", **kw)(y1, train)
-        y2 = ConvBlock(c_, 1, 1, "swish", name="cv2", **kw)(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBlock(self.c2, 1, 1, "swish", name="cv7", **kw)(y, train)

@@ -102,6 +102,34 @@ def _walk(params: Mapping, stats: Mapping) -> dict:
 _V7_HEADS = (("ia1", "conv5", "im1"), ("ia2", "conv6", "im2"),
              ("ia3", "conv7", "im3"))
 
+# Blocks whose cv1/cv2 are two parallel 1×1 convs over the SAME input
+# (ELAN1/ELAN2, CSP, C3, SPPCSPC — see blocks.parallel_cv12); at deploy
+# time they pack into one conv "cv12" with output-channel-concatenated
+# kernels.  Listed explicitly per architecture because the pattern is
+# structural, not inferable from param shapes alone (MaxConv's cv1/cv2
+# have identical shapes but consume DIFFERENT inputs and must not merge).
+_CV12_MERGE_PATHS = {
+    "yolov4": [("backbone", f"csp{i}") for i in range(1, 6)],
+    "yolov5": [("backbone", f"csp{i}") for i in range(1, 5)]
+    + [("neck", f"csp{i}") for i in range(1, 5)],
+    "yolov7": [("backbone", f"elan{i}") for i in range(1, 5)]
+    + [("backbone", "spp")]
+    + [("neck", f"elan{i}") for i in range(1, 5)],
+}
+
+
+def _merge_cv12(fused: dict, ver: str) -> None:
+    """Pack parallel cv1/cv2 pairs into one conv (in place, exact)."""
+    for part, name in _CV12_MERGE_PATHS.get(ver, ()):
+        node = fused.get(part, {}).get(name)
+        if node is None or "cv1" not in node or "cv2" not in node:
+            continue
+        c1, c2 = node.pop("cv1")["conv"], node.pop("cv2")["conv"]
+        node["cv12"] = {"conv": {
+            "kernel": np.concatenate([c1["kernel"], c2["kernel"]], axis=-1),
+            "bias": np.concatenate([c1["bias"], c2["bias"]], axis=-1),
+        }}
+
 
 def _s2d_scatter_s1(w: np.ndarray) -> np.ndarray:
     """3x3 stride-1 conv kernel -> 4x4 stride-2 kernel on the raw input.
@@ -182,8 +210,13 @@ def _maybe_s2d_stem(fused_backbone: dict) -> None:
         return
 
 
-def fuse_variables(variables: Mapping) -> dict:
-    """Fuse a training-structure variable collection into deploy params."""
+def fuse_variables(variables: Mapping, ver: str | None = None) -> dict:
+    """Fuse a training-structure variable collection into deploy params.
+
+    ``ver`` ("yolov4"/"yolov5"/"yolov7") additionally packs the parallel
+    cv1/cv2 1×1 pairs (``_CV12_MERGE_PATHS``); when None it is inferred
+    from the param tree's architecture-specific module names.
+    """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     fused = _walk(params, stats)
@@ -196,7 +229,20 @@ def fuse_variables(variables: Mapping) -> dict:
             )
     if "backbone" in fused:
         _maybe_s2d_stem(fused["backbone"])
+    if ver is None:
+        ver = _infer_ver(params)
+    _merge_cv12(fused, ver)
     return {"params": fused}
+
+
+def _infer_ver(params: Mapping) -> str:
+    """Architecture from structural param-tree fingerprints."""
+    bb = params.get("backbone", {})
+    if "elan1" in bb:
+        return "yolov7"
+    if "cbs0" in bb:
+        return "yolov5"
+    return "yolov4"
 
 
 def fuse_for_inference(model, variables, dtype=None) -> Tuple[Any, dict]:
@@ -208,4 +254,4 @@ def fuse_for_inference(model, variables, dtype=None) -> Tuple[Any, dict]:
     """
     deploy_model = model.clone(deploy=True,
                                dtype=dtype if dtype is not None else model.dtype)
-    return deploy_model, fuse_variables(variables)
+    return deploy_model, fuse_variables(variables, ver=model.ver)

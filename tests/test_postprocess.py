@@ -110,6 +110,34 @@ def test_max_det_cap():
     assert (np.diff(out[0][:, 5]) <= 1e-6).all()
 
 
+def test_small_count_fast_path_exact(monkeypatch):
+    """The count-conditioned SMALL_K branch must equal the full-width
+    post-process bit-for-bit whenever it fires (it only fires when every
+    above-threshold candidate fits in the small width)."""
+    import ryolo_tpu.eval.postprocess as pp
+
+    rng = np.random.default_rng(11)
+    B, N, nc = 2, 1500, 4
+    pred = np.zeros((B, N, nc + 6), np.float32)
+    pred[..., :2] = rng.uniform(0, 700, (B, N, 2))
+    pred[..., 2:4] = rng.uniform(5, 80, (B, N, 2))
+    pred[..., 4] = rng.uniform(-1.5, 1.5, (B, N))
+    pred[..., 5] = rng.uniform(0, 1, (B, N)) ** 4   # ~100 rows above 0.5
+    pred[..., 6:] = rng.uniform(0.5, 1, (B, N, nc))
+    pred_j = jnp.asarray(pred)
+
+    f = pp.post_process_fixed.__wrapped__  # eager: globals read per call
+    kw = dict(max_nms=1200, max_det=100, use_topk=None)
+    above = (np.max(pred[..., 6:] * pred[..., 5:6], -1) > 0.5).sum(1)
+    assert (above < pp.SMALL_K).all() and pp.SMALL_K < 1200  # branch fires
+
+    d_fast, v_fast = f(pred_j, 0.5, 0.4, **kw)
+    monkeypatch.setattr(pp, "SMALL_K", 0)  # force the full-width branch
+    d_full, v_full = f(pred_j, 0.5, 0.4, **kw)
+    np.testing.assert_array_equal(np.asarray(v_fast), np.asarray(v_full))
+    np.testing.assert_array_equal(np.asarray(d_fast), np.asarray(d_full))
+
+
 def test_topk_and_sort_selection_identical():
     """The two candidate-selection strategies must agree bit-for-bit
     (same ordering contract: descending score, ties by candidate index)."""
