@@ -160,7 +160,7 @@ class BaseDataset:
     """Shared mosaic/letterbox/augment/label pipeline (``base_dataset.py:83-363``)."""
 
     def __init__(self, hyp, img_size: int, augment: bool, csl: bool,
-                 normalized_labels: bool):
+                 normalized_labels: bool, cache_images: bool = False):
         self.hyp = hyp
         self.img_size = img_size
         self.augment = augment
@@ -169,6 +169,12 @@ class BaseDataset:
         self.mosaic_border = [-img_size // 2, -img_size // 2]
         self.img_files: List[str] = []
         self.label_files: List[str] = []
+        # decoded+resized image cache (BGR uint8): with device-side
+        # augmentation the imread/resize is the ONLY remaining host pixel
+        # work, so caching it makes the loader label-math-bound (the
+        # ultralytics ``--cache ram`` pattern)
+        self.cache_images = cache_images
+        self._img_cache: dict = {}
 
     # -- subclass interface -------------------------------------------------
     def load_files(self, label_path: str):
@@ -179,8 +185,16 @@ class BaseDataset:
     def __len__(self):
         return len(self.img_files)
 
-    def load_image(self, index: int, rng: Optional[np.random.Generator]):
-        """imread + optional resize to img_size + HSV (``base_dataset.py:172-191``)."""
+    def _load_resized(self, index: int):
+        """imread + resize to ≤ img_size (no HSV), optionally cached.
+
+        Returns ``(img_bgr_u8, (h0, w0), (h, w))`` — the decode-only host
+        work that remains when augmentation runs on device.
+        """
+        cached = self._img_cache.get(index)
+        if cached is not None:
+            img, size0, size = cached
+            return img.copy(), size0, size
         img = cv2.imread(self.img_files[index])
         h, w = img.shape[:2]
         if img.ndim != 3 or img.shape[2] != 3:
@@ -189,10 +203,25 @@ class BaseDataset:
         if r != 1:
             interp = cv2.INTER_AREA if (r < 1 and not self.augment) else cv2.INTER_LINEAR
             img = cv2.resize(img, (int(w * r), int(h * r)), interpolation=interp)
+        if self.cache_images:
+            self._img_cache[index] = (img, (h, w), img.shape[:2])
+            return img.copy(), (h, w), img.shape[:2]
+        return img, (h, w), img.shape[:2]
+
+    def _draw_hsv_gains(self, rng: np.random.Generator) -> np.ndarray:
+        """The rng draw of :func:`hsv_augment` without applying it."""
+        h, s, v = self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"]
+        if not (h or s or v):
+            return np.ones(3)
+        return 1.0 + rng.uniform(-1, 1, 3) * np.array([h, s, v])
+
+    def load_image(self, index: int, rng: Optional[np.random.Generator]):
+        """imread + optional resize to img_size + HSV (``base_dataset.py:172-191``)."""
+        img, size0, size = self._load_resized(index)
         if self.augment and rng is not None:
             hsv_augment(img, rng, self.hyp["hsv_h"], self.hyp["hsv_s"],
                         self.hyp["hsv_v"])
-        return img, (h, w), img.shape[:2]
+        return img, size0, size
 
     def load_target(self, index, pad, img_size0, img_size, border=None):
         """Polygon labels in padded-image pixels, ``(N, 9)`` ``[cls, x1..y4]``.
@@ -323,6 +352,205 @@ class BaseDataset:
         if self.augment and rng.random() < hyp["flipud"]:
             img, targets = vertical_flip(img, targets)
 
+        labels = self._finalize_labels(targets)
+
+        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
+        return self.img_files[index], img, labels
+
+
+    # -- device-side augmentation specs ------------------------------------
+    # get_render_spec draws the SAME rng sequence as get_sample but defers
+    # all pixel work to ryolo_tpu.data.device_augment.render_specs; only
+    # decode/resize and the label math stay on host.  Parity pinned by
+    # tests/test_device_augment.py.
+
+    def _warp_params(self, rng, canvas_hw, border):
+        """Mirror of ``augment.random_warping``'s draws + matrices.
+
+        Returns ``(rot (2,2), shift (2,), center (2,), minv (2,3))`` where
+        ``minv`` maps output pixel coords back to canvas coords.
+        """
+        hyp = self.hyp
+        height = canvas_hw[0] + border[0] * 2
+        width = canvas_hw[1] + border[1] * 2
+        theta = np.deg2rad(rng.uniform(-hyp["rotate"], hyp["rotate"]))
+        sc = rng.uniform(1 - hyp["scale"], 1.1 + hyp["scale"])
+        t = hyp["translate"]
+        shift = np.array([rng.uniform(0.3 - t, 0.3 + t) * width,
+                          rng.uniform(0.3 - t, 0.3 + t) * height])
+        rot = sc * np.array([[np.cos(theta), np.sin(theta)],
+                             [-np.sin(theta), np.cos(theta)]])
+        center = np.array([canvas_hw[1], canvas_hw[0]]) / 2.0
+        rinv = rot.T / (sc * sc)  # (s·R)^-1 = Rᵀ/s
+        minv = np.concatenate(
+            [rinv, (center - rinv @ shift)[:, None]], axis=1
+        ).astype(np.float32)
+        return rot, shift, center, minv
+
+    def _warp_targets(self, targets, rot, shift, center):
+        """Label side of ``random_warping`` (same closed form)."""
+        if len(targets):
+            targets = targets.copy()
+            pts = targets[:, 1:].reshape(-1, 4, 2)
+            targets[:, 1:] = (pts @ rot.T + shift - rot @ center).reshape(-1, 8)
+        return targets
+
+    def _spec_mosaic(self, index, rng, use9: bool):
+        """Tiles/regions/offsets + canvas-space labels for a mosaic draw."""
+        from ryolo_tpu.data.device_augment import MAX_TILES
+
+        s = self.img_size
+        tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
+        region = np.zeros((MAX_TILES, 4), np.float32)
+        offset = np.zeros((MAX_TILES, 2), np.float32)
+        hsv = np.ones((MAX_TILES, 3), np.float32)
+        labels = []
+        if not use9:
+            yc, xc = [int(rng.uniform(-x, 2 * s + x))
+                      for x in self.mosaic_border]
+            indices = [index] + list(rng.integers(0, len(self.img_files), 3))
+            for i, idx in enumerate(indices):
+                img, (h0, w0), (h, w) = self._load_resized(idx)
+                hsv[i] = self._draw_hsv_gains(rng)
+                tiles[i, :h, :w] = img[:, :, ::-1]  # ship RGB
+                (x1a, x2a, x1b, x2b), (y1a, y2a, y1b, y2b) = mosaic4_spans(
+                    i, xc, yc, w, h, s
+                )
+                region[i] = [x1a, y1a, x2a, y2a]
+                offset[i] = [x1a - x1b, y1a - y1b]
+                labels.append(
+                    self.load_target(idx, (y1a - y1b, x1a - x1b), (h0, w0),
+                                     (h, w), border=(x1b, x2b, y1b, y2b))
+                )
+            targets = np.concatenate(labels, 0)
+            crop = (0.0, 0.0)
+        else:
+            indices = [index] + list(rng.integers(0, len(self.img_files), 8))
+            prev = base = (0, 0)
+            for i, idx in enumerate(indices):
+                img, (h0, w0), (h, w) = self._load_resized(idx)
+                hsv[i] = self._draw_hsv_gains(rng)
+                if i == 0:
+                    base = (w, h)
+                tiles[i, :h, :w] = img[:, :, ::-1]
+                x1, y1, x2, y2 = mosaic9_box(i, (w, h), base, prev, s)
+                cx1, cy1 = max(x1, 0), max(y1, 0)
+                region[i] = [cx1, cy1, x2, y2]
+                offset[i] = [x1, y1]
+                prev = (w, h)
+                labels.append(
+                    self.load_target(idx, (y1, x1), (h0, w0), (h, w),
+                                     border=(cx1 - x1, w, cy1 - y1, h))
+                )
+            targets = np.concatenate(labels, 0)
+            yc, xc = [int(rng.uniform(0, s)) for _ in self.mosaic_border]
+            # the host pipeline warps the CROPPED canvas: content outside
+            # the crop window becomes border — clip ownership to match
+            region[:, 0] = np.clip(region[:, 0], xc, xc + 2 * s)
+            region[:, 1] = np.clip(region[:, 1], yc, yc + 2 * s)
+            region[:, 2] = np.clip(region[:, 2], xc, xc + 2 * s)
+            region[:, 3] = np.clip(region[:, 3], yc, yc + 2 * s)
+            targets = filter_by_center(targets,
+                                       (xc, xc + 2 * s, yc, yc + 2 * s))
+            if len(targets):
+                targets = targets.copy()
+                targets[:, 1::2] -= xc
+                targets[:, 2::2] -= yc
+            crop = (float(xc), float(yc))
+        return tiles, region, offset, hsv, crop, targets
+
+    def get_render_spec(self, index: int, rng: np.random.Generator):
+        """Device-augmentation twin of :meth:`get_sample`.
+
+        Returns ``(path, specs, mix_r, flips, labels)`` where ``specs`` is
+        ``[base]`` or ``[base, mixup_partner]``, ``flips`` is the (lr, ud)
+        bool pair, and ``labels`` are the final reference-layout rows —
+        identical to what :meth:`get_sample` would produce for the same
+        ``(index, rng)``, since both run the same label math in the same
+        rng order.
+        """
+        if not self.augment:
+            raise ValueError("render specs exist for the augment pipeline; "
+                             "eval/detect letterboxing stays host-side")
+        hyp = self.hyp
+        s = self.img_size
+        mosaic_draw = rng.random() < hyp["mosaic"]
+        if mosaic_draw:
+            use9 = not (rng.random() < 0.8)
+            tiles, region, offset, hsv, crop, targets = self._spec_mosaic(
+                index, rng, use9
+            )
+            rot, shift, center, minv = self._warp_params(
+                rng, (2 * s, 2 * s), self.mosaic_border
+            )
+            targets = self._warp_targets(targets, rot, shift, center)
+            minv = minv.copy()
+            minv[:, 2] += np.asarray(crop, np.float32)
+            specs = [{"tiles": tiles, "region": region, "offset": offset,
+                      "hsv": hsv, "minv": minv}]
+            mix_r = None
+            if rng.random() < hyp["mixup"]:
+                j = int(rng.integers(0, len(self.img_files)))
+                use9b = not (rng.random() < 0.8)
+                t2, r2, o2, g2, crop2, targets2 = self._spec_mosaic(
+                    j, rng, use9b
+                )
+                rot2, shift2, center2, minv2 = self._warp_params(
+                    rng, (2 * s, 2 * s), self.mosaic_border
+                )
+                targets2 = self._warp_targets(targets2, rot2, shift2, center2)
+                minv2 = minv2.copy()
+                minv2[:, 2] += np.asarray(crop2, np.float32)
+                specs.append({"tiles": t2, "region": r2, "offset": o2,
+                              "hsv": g2, "minv": minv2})
+                mix_r = float(rng.beta(8.0, 8.0))
+                targets = np.concatenate([targets, targets2], 0)
+        else:
+            spec, targets = self._spec_letterbox_warp(index, rng)
+            specs = [spec]
+            mix_r = None
+
+        targets = filter_by_center(targets, (0, s, 0, s))
+        targets = normalize_targets(targets, (s, s))
+
+        flip_lr = self.augment and rng.random() < hyp["fliplr"]
+        if flip_lr and len(targets):
+            targets = targets.copy()
+            targets[:, 1::2] = 1.0 - targets[:, 1::2]
+        flip_ud = self.augment and rng.random() < hyp["flipud"]
+        if flip_ud and len(targets):
+            targets = targets.copy()
+            targets[:, 2::2] = 1.0 - targets[:, 2::2]
+
+        labels = self._finalize_labels(targets)
+        return (self.img_files[index], specs, mix_r, (flip_lr, flip_ud),
+                labels)
+
+    def _spec_letterbox_warp(self, index, rng):
+        """Non-mosaic augmented spec (letterbox + random warp)."""
+        from ryolo_tpu.data.device_augment import MAX_TILES
+
+        s = self.img_size
+        img, (h0, w0), (h, w) = self._load_resized(index)
+        gains = self._draw_hsv_gains(rng)
+        tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
+        region = np.zeros((MAX_TILES, 4), np.float32)
+        offset = np.zeros((MAX_TILES, 2), np.float32)
+        hsv = np.ones((MAX_TILES, 3), np.float32)
+        tiles[0, :h, :w] = img[:, :, ::-1]
+        hsv[0] = gains
+        dw, dh = (s - w) / 2, (s - h) / 2
+        top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+        region[0] = [left, top, left + w, top + h]
+        offset[0] = [left, top]
+        targets = self.load_target(index, (dh, dw), (h0, w0), (h, w))
+        rot, shift, center, minv = self._warp_params(rng, (s, s), (0, 0))
+        targets = self._warp_targets(targets, rot, shift, center)
+        return ({"tiles": tiles, "region": region, "offset": offset,
+                 "hsv": hsv, "minv": minv}, targets)
+
+    def _finalize_labels(self, targets):
+        """Polygon targets -> reference label rows (shared with get_sample)."""
         n = len(targets)
         width = 187 if self.csl else 7
         labels = np.zeros((n, width), np.float32)
@@ -334,17 +562,16 @@ class BaseDataset:
                 labels[:, 7:] = csl_gaussian_labels_np(
                     rboxes[:, 4] * 180 / np.pi + 90, sig=6.0
                 )
-
-        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
-        return self.img_files[index], img, labels
+        return labels
 
 
 class DOTADataset(BaseDataset):
     """DOTA split: ``images/*.png`` + ``annfiles/*.txt`` polygon rows."""
 
     def __init__(self, data_dir, class_names, hyp, img_size, augment, csl,
-                 normalized_labels=False):
-        super().__init__(hyp, img_size, augment, csl, normalized_labels)
+                 normalized_labels=False, cache_images=False):
+        super().__init__(hyp, img_size, augment, csl, normalized_labels,
+                         cache_images=cache_images)
         self.img_files = sorted(
             glob.glob(os.path.join(data_dir, "images", "*.png"))
         )
@@ -374,8 +601,9 @@ class UCASAODDataset(BaseDataset):
     """UCAS-AOD: per-image ``.txt`` with tab-separated ``class x1..y4``."""
 
     def __init__(self, data_dir, class_names, hyp, img_size, augment, csl,
-                 normalized_labels=False):
-        super().__init__(hyp, img_size, augment, csl, normalized_labels)
+                 normalized_labels=False, cache_images=False):
+        super().__init__(hyp, img_size, augment, csl, normalized_labels,
+                         cache_images=cache_images)
         self.img_files = sorted(glob.glob(os.path.join(data_dir, "*.png")))
         self.label_files = [p.replace(".png", ".txt") for p in self.img_files]
         self.category = {
@@ -405,8 +633,9 @@ class CustomDataset(BaseDataset):
     """
 
     def __init__(self, data_dir, class_names, hyp, img_size, augment, csl,
-                 normalized_labels=False, ext="jpg"):
-        super().__init__(hyp, img_size, augment, csl, normalized_labels)
+                 normalized_labels=False, ext="jpg", cache_images=False):
+        super().__init__(hyp, img_size, augment, csl, normalized_labels,
+                         cache_images=cache_images)
         self.img_files = sorted(glob.glob(os.path.join(data_dir, f"*.{ext}")))
         if not self.img_files:
             self.img_files = sorted(glob.glob(os.path.join(data_dir, "*.png")))

@@ -1,0 +1,207 @@
+"""Device-side augmentation: the mosaic/warp/HSV pixel pipeline as XLA ops.
+
+TPU-first re-design of the reference's host-side hot path
+(``datasets/base_dataset.py:92-159`` + ``lib/augmentations.py:8-74``): the
+host keeps only image DECODE (+resize) and the (cheap) label math; every
+per-pixel operation — mosaic-4/-9 compositing, the random affine warp, HSV
+jitter, mixup blending, flips, letterbox borders and the final /255
+normalize — runs as ONE batched jitted program on device.
+
+The key re-design: the reference materializes a 2s×2s (mosaic-4) or 3s×3s
+(mosaic-9) canvas and then warps it down to s×s
+(``base_dataset.py:240-340`` then ``lib/augmentations.py:42-74``).  Here
+the canvas never exists: for every output pixel the inverse affine gives a
+canvas coordinate, each of its 4 bilinear taps resolves which tile owns
+that canvas cell (mosaic paste order = last write wins) and gathers the
+source pixel directly — one fused gather per output image, O(s²) work
+instead of O((3s)²) canvas traffic.
+
+Host-side spec construction lives in
+:meth:`ryolo_tpu.data.datasets.BaseDataset.get_render_spec`, which draws
+the SAME rng sequence as the numpy pipeline (parity pinned by
+``tests/test_device_augment.py``).
+
+Layouts (B specs per batch, T = MAX_TILES tile slots, s = img_size):
+  * ``tiles``   (B, T, s, s, 3) uint8 — decoded sources, content top-left
+  * ``region``  (B, T, 4) f32 — canvas-space ownership box [x1, y1, x2, y2)
+    (zero-area for unused slots; later slots overwrite earlier ones)
+  * ``offset``  (B, T, 2) f32 — canvas→source translation (sx = cx - ox)
+  * ``hsv``     (B, T, 3) f32 — per-tile HSV gains (h, s, v), 1 = identity
+  * ``minv``    (B, 2, 3) f32 — output→canvas inverse affine
+  * ``flip``    (B, 2) bool — (fliplr, flipud), applied after the warp
+  * ``mix_idx`` (B,) int32 — spec index blended in (−1 = no mixup)
+  * ``mix_r``   (B,) f32 — mixup beta weight
+Rendered output: (n_out, s, s, 3) float32 RGB in [0, 1] for spec slots
+[0, n_out) (slots ≥ n_out exist only as mixup partners).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MAX_TILES = 9          # mosaic-9 is the widest layout
+PAD = 114.0            # reference letterbox/border value
+
+
+# ---------------------------------------------------------------------------
+# HSV jitter on gathered taps (uint8 semantics of lib/augmentations.py:8-20)
+# ---------------------------------------------------------------------------
+
+def _rgb_to_hsv_u8(rgb):
+    """uint8-valued RGB (as f32) -> cv2-convention HSV (H∈[0,180), S,V∈[0,255]).
+
+    Matches ``cv2.cvtColor(..., COLOR_BGR2HSV)`` on 8-bit images: H is
+    degrees/2 rounded to integer, S = round(255·(max-min)/max).
+    """
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    safe = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(
+        mx == r, (g - b) / safe,
+        jnp.where(mx == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe),
+    )
+    h = jnp.where(d > 0, h * 30.0, 0.0)          # degrees / 2
+    h = jnp.where(h < 0, h + 180.0, h)
+    h = jnp.round(h)
+    h = jnp.where(h >= 180.0, 0.0, h)            # cv2 wraps 180 -> 0
+    s = jnp.round(jnp.where(mx > 0, 255.0 * d / jnp.where(mx > 0, mx, 1.0),
+                            0.0))
+    return h, s, mx
+
+
+def _hsv_to_rgb_u8(h, s, v):
+    """Inverse of :func:`_rgb_to_hsv_u8` (cv2 8-bit convention)."""
+    h6 = h / 30.0                                # sector in [0, 6)
+    i = jnp.floor(h6)
+    f = h6 - i
+    sf = s / 255.0
+    p = v * (1.0 - sf)
+    q = v * (1.0 - sf * f)
+    t = v * (1.0 - sf * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t],
+                   v)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p],
+                   p)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v],
+                   q)
+    return jnp.stack([jnp.round(r), jnp.round(g), jnp.round(b)], axis=-1)
+
+
+def hsv_jitter(rgb, gains):
+    """Per-pixel HSV jitter with the reference's uint8-LUT semantics.
+
+    ``lib/augmentations.py:8-20`` builds uint8 LUTs ``int(v·gain)`` (hue
+    wraps mod 180, sat/val clip at 255) and applies them channelwise; the
+    closed form below floors the same products.  ``gains`` broadcasts
+    against ``rgb[..., 0]``.
+    """
+    h, s, v = _rgb_to_hsv_u8(rgb)
+    h = jnp.floor(h * gains[..., 0]) % 180.0
+    s = jnp.clip(jnp.floor(s * gains[..., 1]), 0.0, 255.0)
+    v = jnp.clip(jnp.floor(v * gains[..., 2]), 0.0, 255.0)
+    return _hsv_to_rgb_u8(h, s, v)
+
+
+# ---------------------------------------------------------------------------
+# The renderer
+# ---------------------------------------------------------------------------
+
+def _render_one(tiles, region, offset, hsv, minv, out_size: int):
+    """Render one spec (T tile slots) to an (s, s, 3) f32 image in [0, 255].
+
+    For each output pixel, the inverse affine gives a float canvas coord;
+    each of its 4 bilinear taps independently resolves the owning tile
+    (last overlapping slot wins — mosaic paste order) and gathers the
+    HSV-jittered source pixel, so tile seams blend exactly like warping
+    the materialized canvas would.
+    """
+    s = out_size
+    T = tiles.shape[0]
+
+    # output pixel grid -> canvas coords (cv2 warpAffine convention:
+    # integer pixel centers, dst(x,y) = src(Minv @ (x, y, 1)))
+    ox = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    oy = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    cx = minv[0, 0] * ox + minv[0, 1] * oy + minv[0, 2]
+    cy = minv[1, 0] * ox + minv[1, 1] * oy + minv[1, 2]
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+
+    def tap(qx, qy):
+        """Canvas integer tap -> (s, s, 3) color + (s, s) validity."""
+        # owner = highest slot whose region contains the tap
+        inside = (
+            (qx[None] >= region[:, None, None, 0])
+            & (qx[None] < region[:, None, None, 2])
+            & (qy[None] >= region[:, None, None, 1])
+            & (qy[None] < region[:, None, None, 3])
+        )  # (T, s, s)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (T, s, s), 0)
+        owner = jnp.max(jnp.where(inside, slot_ids, -1), axis=0)  # (s, s)
+        valid = owner >= 0
+        o = jnp.maximum(owner, 0)
+        sx = jnp.clip(qx - jnp.take(offset[:, 0], o), 0, s - 1)
+        sy = jnp.clip(qy - jnp.take(offset[:, 1], o), 0, s - 1)
+        lin = (o * s + sy.astype(jnp.int32)) * s + sx.astype(jnp.int32)
+        col = jnp.take(tiles.reshape(T * s * s, 3), lin, axis=0)
+        col = col.astype(jnp.float32)
+        g = jnp.take(hsv, o, axis=0)  # (s, s, 3)
+        # identity gains skip the (quantizing) HSV round-trip entirely,
+        # like the reference's early-out (lib/augmentations.py:31-32)
+        ident = jnp.all(g == 1.0, axis=-1, keepdims=True)
+        col = jnp.where(ident, col, hsv_jitter(col, g))
+        return jnp.where(valid[..., None], col, PAD), valid
+
+    c00, _ = tap(x0, y0)
+    c01, _ = tap(x0 + 1, y0)
+    c10, _ = tap(x0, y0 + 1)
+    c11, _ = tap(x0 + 1, y0 + 1)
+
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    out = (c00 * w00[..., None] + c01 * w01[..., None]
+           + c10 * w10[..., None] + c11 * w11[..., None])
+    # cv2.warpAffine fills fully-out-of-canvas pixels with the border value
+    # (taps outside every region already return PAD, matching the canvas's
+    # 114 background inside it).
+    return jnp.round(out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
+                 n_out: int):
+    """Render a batch of specs -> (n_out, s, s, 3) float32 RGB in [0, 1].
+
+    Spec slots ≥ ``n_out`` are mixup partners only.  See module docstring
+    for layouts.
+    """
+    s = tiles.shape[2]
+    imgs = jax.vmap(
+        lambda t, r, o, g, m: _render_one(t, r, o, g, m, s)
+    )(tiles, region, offset, hsv, minv)          # (B, s, s, 3) in [0,255]
+
+    base = imgs[:n_out]
+    has_mix = mix_idx[:n_out] >= 0
+    partner = jnp.take(imgs, jnp.maximum(mix_idx[:n_out], 0), axis=0)
+    r = mix_r[:n_out][:, None, None, None]
+    # reference mixup: float blend then uint8 truncation
+    # (lib/augmentations.py:23-27)
+    mixed = jnp.floor(base * r + partner * (1.0 - r))
+    out = jnp.where(has_mix[:, None, None, None], mixed, base)
+
+    do_lr = flip[:n_out, 0][:, None, None, None]
+    do_ud = flip[:n_out, 1][:, None, None, None]
+    out = jnp.where(do_lr, out[:, :, ::-1, :], out)
+    out = jnp.where(do_ud, out[:, ::-1, :, :], out)
+    return out / 255.0

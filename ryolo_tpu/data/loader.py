@@ -42,7 +42,8 @@ class DataLoader:
                  shuffle: bool = True, max_targets: int = 300,
                  seed: int = 42, drop_last: bool = False,
                  workers: int = 4, prefetch: int = 2,
-                 shard: Optional[tuple] = None):
+                 shard: Optional[tuple] = None,
+                 device_augment: bool = False):
         """``shard=(host_id, n_hosts)`` splits the (epoch-shuffled) sample
         order across hosts for multi-host data parallelism: each host loads
         a disjoint 1/n_hosts slice per epoch (SURVEY §5.8 host-sharded
@@ -65,7 +66,31 @@ class DataLoader:
             host, n_hosts = shard
             if not (0 <= host < n_hosts):
                 raise ValueError(f"bad shard {shard}")
+            if n_hosts > 1 and len(dataset) % n_hosts and not (
+                    shuffle or getattr(dataset, "augment", False)):
+                # Shorter shards wrap their tail to stay in lockstep —
+                # correct for (shuffled, augmented) training, but an eval
+                # pass would then score the wrapped samples twice.
+                import warnings
+
+                warnings.warn(
+                    f"DataLoader(shard={shard}): dataset length "
+                    f"{len(dataset)} is not divisible by n_hosts; the "
+                    "wrapped tail samples will be DOUBLE-COUNTED. Sharded "
+                    "loading is intended for training — for eval, pad the "
+                    "dataset or evaluate unsharded.",
+                    stacklevel=2,
+                )
         self.shard = shard
+        # device-side augmentation: samples are render SPECS (tiles +
+        # affines), rendered on device by
+        # ryolo_tpu.data.device_augment.render_specs; E extra spec slots
+        # hold mixup partners (overflow falls back to host rendering via
+        # an identity spec — exact, just slower, P ≈ 0.3% at B=8)
+        self.device_augment = device_augment
+        if device_augment and not getattr(dataset, "augment", False):
+            raise ValueError("device_augment requires an augmenting dataset")
+        self.extra_slots = max(1, -(-batch_size * 2 // 5))  # ceil(0.4·B)
 
     def _shard_len(self):
         n = len(self.dataset)
@@ -82,11 +107,15 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _sample(self, index: int):
-        rng = np.random.default_rng(
+    def _rng(self, index: int):
+        return np.random.default_rng(
             np.random.SeedSequence([self.seed, self.epoch, index])
         )
-        return self.dataset.get_sample(index, rng)
+
+    def _sample(self, index: int):
+        if self.device_augment:
+            return self.dataset.get_render_spec(index, self._rng(index))
+        return self.dataset.get_sample(index, self._rng(index))
 
     def _collate(self, samples):
         B = len(samples)
@@ -109,6 +138,90 @@ class DataLoader:
                     csl[b, :n] = labels[:n, 7:]
                 mask[b, :n] = True
         out = Batch(images=images, tgt=tgt, tgt_mask=mask, paths=paths)
+        if self.csl:
+            out["tgt_csl"] = csl
+        return out
+
+    def _pack_labels(self, b, labels, tgt, csl, mask):
+        T = self.max_targets
+        n = min(len(labels), T)
+        if len(labels) > T:
+            self.n_dropped += len(labels) - T
+        if n:
+            tgt[b, :n] = labels[:n, 1:7]
+            if self.csl:
+                csl[b, :n] = labels[:n, 7:]
+            mask[b, :n] = True
+
+    def _identity_spec(self, index):
+        """Host-rendered fallback spec (exact; used on mixup-slot overflow)."""
+        from ryolo_tpu.data.device_augment import MAX_TILES
+
+        s = self.dataset.img_size
+        path, img, labels = self.dataset.get_sample(index, self._rng(index))
+        tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
+        tiles[0] = np.round(img * 255.0).astype(np.uint8)
+        region = np.zeros((MAX_TILES, 4), np.float32)
+        region[0] = [0, 0, s, s]
+        spec = {
+            "tiles": tiles, "region": region,
+            "offset": np.zeros((MAX_TILES, 2), np.float32),
+            "hsv": np.ones((MAX_TILES, 3), np.float32),
+            "minv": np.array([[1, 0, 0], [0, 1, 0]], np.float32),
+        }
+        return path, spec, labels
+
+    def _collate_specs(self, samples, indices):
+        """Spec batch: B base slots + E mixup-partner slots (fixed shapes)."""
+        from ryolo_tpu.data.device_augment import MAX_TILES
+
+        B = len(samples)
+        E = self.extra_slots
+        T = self.max_targets
+        s = self.dataset.img_size
+        BS = B + E
+        tiles = np.zeros((BS, MAX_TILES, s, s, 3), np.uint8)
+        region = np.zeros((BS, MAX_TILES, 4), np.float32)
+        offset = np.zeros((BS, MAX_TILES, 2), np.float32)
+        hsv = np.ones((BS, MAX_TILES, 3), np.float32)
+        minv = np.tile(np.array([[1, 0, 0], [0, 1, 0]], np.float32),
+                       (BS, 1, 1))
+        flip = np.zeros((B, 2), bool)
+        mix_idx = np.full((B,), -1, np.int32)
+        mix_r = np.zeros((B,), np.float32)
+        tgt = np.zeros((B, T, 6), np.float32)
+        csl = np.zeros((B, T, 180), np.float32) if self.csl else None
+        mask = np.zeros((B, T), bool)
+        paths = []
+
+        def put(slot, spec):
+            tiles[slot] = spec["tiles"]
+            region[slot] = spec["region"]
+            offset[slot] = spec["offset"]
+            hsv[slot] = spec["hsv"]
+            minv[slot] = spec["minv"]
+
+        next_extra = B
+        for b, ((path, specs, r, flips, labels), idx) in enumerate(
+                zip(samples, indices)):
+            if r is not None and next_extra >= B + E:
+                # partner slots exhausted: host-render this sample (exact)
+                path, spec, labels = self._identity_spec(idx)
+                specs, r, flips = [spec], None, (False, False)
+            paths.append(path)
+            put(b, specs[0])
+            flip[b] = flips
+            if r is not None:
+                put(next_extra, specs[1])
+                mix_idx[b] = next_extra
+                mix_r[b] = r
+                next_extra += 1
+            self._pack_labels(b, labels, tgt, csl, mask)
+
+        out = Batch(spec_tiles=tiles, spec_region=region, spec_offset=offset,
+                    spec_hsv=hsv, spec_minv=minv, spec_flip=flip,
+                    spec_mix_idx=mix_idx, spec_mix_r=mix_r,
+                    tgt=tgt, tgt_mask=mask, paths=paths)
         if self.csl:
             out["tgt_csl"] = csl
         return out
@@ -146,17 +259,22 @@ class DataLoader:
                     idxs = next(it)
                 except StopIteration:
                     return False
-                pending.append([pool.submit(self._sample, i) for i in idxs])
+                pending.append(
+                    (idxs, [pool.submit(self._sample, i) for i in idxs])
+                )
                 return True
 
             for _ in range(self.prefetch + 1):
                 if not submit_next():
                     break
             while pending:
-                futs = pending.pop(0)
+                idxs, futs = pending.pop(0)
                 samples = [f.result() for f in futs]
                 submit_next()
-                yield self._collate(samples)
+                if self.device_augment:
+                    yield self._collate_specs(samples, idxs)
+                else:
+                    yield self._collate(samples)
 
 
 DATASETS = {
@@ -168,18 +286,25 @@ DATASETS = {
 
 def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
               batch_size=4, augment=False, shuffle=True, max_targets=300,
-              drop_last=False, seed=42, workers=4, shard=None):
+              drop_last=False, seed=42, workers=4, shard=None,
+              device_augment=False, cache_images=False):
     """Dataset + loader factory, mirroring ``lib/load.py:9-21``'s contract.
 
     ``shard=(host_id, n_hosts)`` enables host-sharded loading for multi-host
     data parallelism (each host feeds its own devices a disjoint slice).
+    ``device_augment`` makes the loader emit render SPECS (host does only
+    decode + label math; pixels composite on device, see
+    ryolo_tpu/data/device_augment.py); ``cache_images`` keeps decoded
+    resized sources in RAM.
     """
     if dataset_type not in DATASETS:
         raise NotImplementedError(f"dataset type {dataset_type!r} not supported")
     dataset = DATASETS[dataset_type](
-        data_dir, class_names, hyp, img_size=img_size, augment=augment, csl=csl
+        data_dir, class_names, hyp, img_size=img_size, augment=augment,
+        csl=csl, cache_images=cache_images,
     )
     loader = DataLoader(dataset, batch_size, csl=csl, shuffle=shuffle,
                         max_targets=max_targets, drop_last=drop_last,
-                        seed=seed, workers=workers, shard=shard)
+                        seed=seed, workers=workers, shard=shard,
+                        device_augment=device_augment)
     return dataset, loader

@@ -1,0 +1,164 @@
+"""Device-side augmentation parity vs the numpy/cv2 pipeline.
+
+Same (seed, index) rng -> the device renderer must reproduce the host
+pipeline's image within interpolation tolerance (cv2 warpAffine uses 5-bit
+fixed-point coords and uint8 HSV LUTs; the device path computes the same
+maps in float), and the LABELS must match exactly (both paths run the same
+label math in the same rng order).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+HYP = {"box": 0.05, "obj": 1.0, "cls": 0.5, "obj_pw": 1.0, "cls_pw": 1.0,
+       "fl_gamma": 0.0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+       "rotate": 45, "translate": 0.1, "scale": 0.5, "flipud": 0.5,
+       "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.15}
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from make_synth_data import main
+
+    root = str(tmp_path_factory.mktemp("synth_devaug"))
+    main(root, n_images=10, img_size=96, seed=0)
+    return root
+
+
+def _dataset(root, hyp=None, **kw):
+    from ryolo_tpu.data.datasets import CustomDataset
+
+    return CustomDataset(os.path.join(root, "train"), ["a", "b"],
+                         hyp or HYP, img_size=96, augment=True, csl=True,
+                         **kw)
+
+
+def _rng(seed, index):
+    return np.random.default_rng(np.random.SeedSequence([seed, 0, index]))
+
+
+def _render(ds, index, seed):
+    """Device-rendered image + labels for one sample."""
+    import jax.numpy as jnp
+
+    from ryolo_tpu.data.device_augment import render_specs
+
+    path, specs, mix_r, flips, labels = ds.get_render_spec(
+        index, _rng(seed, index))
+    n = len(specs)
+    tiles = np.stack([s["tiles"] for s in specs])
+    region = np.stack([s["region"] for s in specs])
+    offset = np.stack([s["offset"] for s in specs])
+    hsv = np.stack([s["hsv"] for s in specs])
+    minv = np.stack([s["minv"] for s in specs])
+    flip = np.zeros((n, 2), bool)
+    flip[0] = flips
+    mix_idx = np.full((n,), -1, np.int32)
+    mix_rr = np.zeros((n,), np.float32)
+    if mix_r is not None:
+        mix_idx[0] = 1
+        mix_rr[0] = mix_r
+    img = render_specs(jnp.asarray(tiles), jnp.asarray(region),
+                       jnp.asarray(offset), jnp.asarray(hsv),
+                       jnp.asarray(minv), jnp.asarray(flip),
+                       jnp.asarray(mix_idx), jnp.asarray(mix_rr), n_out=1)
+    return np.asarray(img[0]), labels, mix_r
+
+
+def _assert_close_image(got, want, tag, mean_tol=3.0, frac_tol=0.03,
+                        big=16.0):
+    """Robust image comparison in 8-bit units: small mean error and few
+    outlier pixels (fixed-point warp + HSV quantization + tile-seam taps)."""
+    diff = np.abs(got.astype(np.float64) - want.astype(np.float64)) * 255.0
+    mean = diff.mean()
+    frac_big = (diff.max(-1) > big).mean()
+    assert mean < mean_tol, f"{tag}: mean abs diff {mean:.2f}/255"
+    assert frac_big < frac_tol, (
+        f"{tag}: {frac_big:.1%} pixels differ by more than {big}/255")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6])
+def test_render_matches_host_pipeline(synth, seed):
+    ds = _dataset(synth)
+    for index in range(0, 6, 2):
+        path_h, img_h, labels_h = ds.get_sample(index, _rng(seed, index))
+        img_d, labels_d, mix_r = _render(ds, index, seed)
+        assert img_d.shape == img_h.shape
+        _assert_close_image(img_d, img_h, f"seed={seed} idx={index} "
+                                          f"mix={mix_r is not None}")
+        # labels: identical math on identical rng draws -> exact
+        assert labels_d.shape == labels_h.shape
+        np.testing.assert_allclose(labels_d, labels_h, rtol=1e-5, atol=1e-5)
+
+
+def test_render_letterbox_branch(synth):
+    """mosaic=0 exercises the letterbox+warp single-tile path."""
+    hyp = dict(HYP, mosaic=0.0, mixup=0.0)
+    ds = _dataset(synth, hyp=hyp)
+    for index in (0, 1):
+        _, img_h, labels_h = ds.get_sample(index, _rng(9, index))
+        img_d, labels_d, _ = _render(ds, index, 9)
+        _assert_close_image(img_d, img_h, f"letterbox idx={index}")
+        np.testing.assert_allclose(labels_d, labels_h, rtol=1e-5, atol=1e-5)
+
+
+def test_identity_spec_exact(synth):
+    """The host-render fallback (identity spec) must be bit-exact."""
+    import jax.numpy as jnp
+
+    from ryolo_tpu.data.device_augment import render_specs
+    from ryolo_tpu.data.loader import DataLoader
+
+    ds = _dataset(synth)
+    loader = DataLoader(ds, batch_size=2, csl=True, device_augment=True,
+                        max_targets=32, seed=5)
+    path, spec, labels = loader._identity_spec(0)
+    _, img_h, labels_h = ds.get_sample(0, loader._rng(0))
+    img = render_specs(
+        jnp.asarray(spec["tiles"][None]), jnp.asarray(spec["region"][None]),
+        jnp.asarray(spec["offset"][None]), jnp.asarray(spec["hsv"][None]),
+        jnp.asarray(spec["minv"][None]),
+        jnp.zeros((1, 2), bool), jnp.full((1,), -1, jnp.int32),
+        jnp.zeros((1,), jnp.float32), n_out=1)
+    got = np.asarray(img[0])
+    # uint8 round-trip then /255: exact to float32 rounding
+    np.testing.assert_allclose(got, img_h, atol=1e-6)
+    np.testing.assert_allclose(labels, labels_h, atol=1e-6)
+
+
+def test_spec_loader_batches(synth):
+    """Spec batches have fixed shapes; labels equal the host loader's."""
+    from ryolo_tpu.data.loader import DataLoader
+
+    ds = _dataset(synth)
+    sl = DataLoader(ds, batch_size=4, csl=True, device_augment=True,
+                    max_targets=32, seed=3, shuffle=False)
+    hl = DataLoader(ds, batch_size=4, csl=True, max_targets=32, seed=3,
+                    shuffle=False)
+    sb = next(iter(sl))
+    hb = next(iter(hl))
+    E = sl.extra_slots
+    assert sb["spec_tiles"].shape == (4 + E, 9, 96, 96, 3)
+    assert sb["spec_minv"].shape == (4 + E, 2, 3)
+    assert sb["spec_flip"].shape == (4, 2)
+    np.testing.assert_allclose(sb["tgt"], hb["tgt"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(sb["tgt_mask"], hb["tgt_mask"])
+    np.testing.assert_allclose(sb["tgt_csl"], hb["tgt_csl"], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_cache_images_identical(synth):
+    """cache_images must not change any sample."""
+    ds0 = _dataset(synth)
+    ds1 = _dataset(synth, cache_images=True)
+    for index in (0, 3):
+        _, img0, lab0 = ds0.get_sample(index, _rng(7, index))
+        _ = ds1.get_sample(index, _rng(7, index))       # warm the cache
+        _, img1, lab1 = ds1.get_sample(index, _rng(7, index))
+        np.testing.assert_array_equal(img0, img1)
+        np.testing.assert_array_equal(lab0, lab1)
