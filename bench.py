@@ -75,9 +75,13 @@ def build_model(dtype_name: str, deploy: bool, mode: str = "csl",
         params["neck"][head]["conv"]["bias"] = b.at[jnp.asarray(idx)].set(-6.0)
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
 
-    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+             "int8": jnp.bfloat16}[dtype_name]
     if deploy:
-        model, variables = fuse_for_inference(model, variables, dtype=dtype)
+        # int8: BN-backed convs on the int8 MXU (per-channel weights,
+        # dynamic activation scales); heads/stem/decode stay bf16/f32
+        model, variables = fuse_for_inference(
+            model, variables, dtype=dtype, quantize=dtype_name == "int8")
     elif dtype_name != "f32":
         model = model.clone(dtype=dtype)
     return model, variables
@@ -121,6 +125,95 @@ def rand_batches(n, batch, img):
     ]
     jax.block_until_ready([b[0] for b in batches])
     return batches
+
+
+def bench_eval_ips(model, variables, n_images: int = 48):
+    """End-to-end eval throughput at BASELINE config 3 shape.
+
+    Drives the full ``test.py`` stack — loader (letterbox), jit-fused
+    forward+decode+post-process at the reference eval protocol (conf .001,
+    NMS IoU .65, max_nms 5000, max_det 1500, ``/root/reference/
+    test.py:167-222``), pipelined host matching — on a 15-class synthetic
+    DOTA-shaped val split at 800px, batch 8.  Returns (img/s, mAP@.5).
+    """
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from make_synth_data import class_names, main as make_synth_data
+
+    from ryolo_tpu.eval.evaluator import evaluate
+
+    hyp = {"hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "rotate": 45,
+           "translate": 0.1, "scale": 0.5, "flipud": 0.5, "fliplr": 0.5,
+           "mosaic": 1.0, "mixup": 0.15}
+    tmp = tempfile.mkdtemp(prefix="bench_eval_")
+    make_synth_data(tmp, n_images=n_images, img_size=IMG, seed=1,
+                    n_classes=NC - 1, max_obj=12)
+    data = {"val": os.path.join(tmp, "val"),
+            "names": class_names(NC - 1), "type": "custom"}
+    n_val = max(n_images // 2, 2)
+    # warm pass compiles the eval step + fills the page cache
+    evaluate(model, variables, None, data, hyp, csl=True, img_size=IMG,
+             batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,
+             max_targets=64, progress=False)
+    t0 = time.perf_counter()
+    _, _, map50, _, _ = evaluate(
+        model, variables, None, data, hyp, csl=True, img_size=IMG,
+        batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,
+        max_targets=64, progress=False,
+    )
+    dt = time.perf_counter() - t0
+    return n_val / dt, float(map50)
+
+
+def device_ms_from_trace(trace_dir: str, steps: int):
+    """Per-step device busy time (ms) from a jax.profiler Chrome trace.
+
+    The wall-clock batch-1 latency through the axon tunnel is dominated by
+    the host<->device RTT; deployments care about the on-device time.  Sums
+    the union of op intervals on each device-track pid (the tensorboard
+    plugin converter is broken in this env, so the trace.json.gz is read
+    directly) and divides by the traced step count.
+    """
+    import glob
+    import gzip
+    import os
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if any(k in n for k in ("TPU", "Tpu", "/device",
+                                        "Device", "axon"))
+                and "Host" not in n and "python" not in n.lower()}
+    best = 0.0
+    for pid in dev_pids:
+        iv = sorted((e["ts"], e["ts"] + e.get("dur", 0)) for e in events
+                    if e.get("ph") == "X" and e.get("pid") == pid)
+        if not iv:
+            continue
+        busy, cur_s, cur_e = 0.0, iv[0][0], iv[0][1]
+        for s, t in iv[1:]:
+            if s > cur_e:
+                busy += cur_e - cur_s
+                cur_s, cur_e = s, t
+            else:
+                cur_e = max(cur_e, t)
+        busy += cur_e - cur_s
+        best = max(best, busy)
+    if best <= 0:
+        return None
+    return best / 1000.0 / steps  # us -> ms, per step
 
 
 def bench_nms(n_valid: int, iters: int = 16):
@@ -239,13 +332,14 @@ def bench_train(img: int, batch: int, iters: int = 12,
     import os
     import sys
 
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from make_synth_data import main as make_synth_data
+
+    tmp = tempfile.mkdtemp(prefix="bench_train_")
+    make_synth_data(tmp, n_images=batch * 4, img_size=img, seed=0)
+
     ips_pipeline = None
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-        from make_synth_data import main as make_synth_data
-
-        tmp = tempfile.mkdtemp(prefix="bench_train_")
-        make_synth_data(tmp, n_images=batch * 4, img_size=img, seed=0)
         _, loader = load_data(os.path.join(tmp, "train"), ["a", "b"],
                               "custom", hyp, csl=True, img_size=img,
                               batch_size=batch, augment=True, shuffle=True,
@@ -264,6 +358,47 @@ def bench_train(img: int, batch: int, iters: int = 12,
     except Exception as e:  # noqa: BLE001 -- report partial results
         print(f"# loader-fed bench failed: {e!r}")
 
+    # --- loader-fed with DEVICE-SIDE augmentation + decoded-image cache:
+    # the host emits render specs (decode + label math only); mosaic/warp/
+    # HSV/mixup composite on device (ryolo_tpu/data/device_augment.py)
+    ips_devaug = None
+    try:
+        from ryolo_tpu.data.device_augment import render_specs
+
+        _, dloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
+                               "custom", hyp, csl=True, img_size=img,
+                               batch_size=batch, augment=True, shuffle=True,
+                               max_targets=T, drop_last=True,
+                               device_augment=True, cache_images=True)
+
+        def run_epochs(n_epochs, first_epoch):
+            nonlocal state
+            n_img = 0
+            t0 = time.perf_counter()
+            for epoch in range(first_epoch, first_epoch + n_epochs):
+                dloader.set_epoch(epoch)
+                for b in dloader:
+                    sa = {k: jnp.asarray(np.asarray(v))
+                          for k, v in b.items() if k != "paths"}
+                    images = render_specs(
+                        sa["spec_tiles"], sa["spec_region"],
+                        sa["spec_offset"], sa["spec_hsv"], sa["spec_minv"],
+                        sa["spec_flip"], sa["spec_mix_idx"],
+                        sa["spec_mix_r"], n_out=batch)
+                    arrays = {"images": images, "tgt": sa["tgt"],
+                              "tgt_csl": sa["tgt_csl"],
+                              "tgt_mask": sa["tgt_mask"]}
+                    state, loss, _ = trainer.train_step(state, arrays, lr,
+                                                        acc)
+                    n_img += batch
+            jax.block_until_ready(state)
+            return n_img / (time.perf_counter() - t0)
+
+        run_epochs(1, 0)  # warm: compile the renderer + fill decode cache
+        ips_devaug = run_epochs(max(2, iters // len(dloader)), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"# device-aug loader bench failed: {e!r}")
+
     out = {
         "metric": f"train_img_per_sec_chip_{img}px_yolov7_csl_{dtype_name}",
         "value": round(ips_device, 2),
@@ -272,6 +407,10 @@ def bench_train(img: int, batch: int, iters: int = 12,
         "loader_fed_img_s": round(ips_pipeline, 2) if ips_pipeline else None,
         "input_stall_frac": round(1 - ips_pipeline / ips_device, 3)
         if ips_pipeline else None,
+        "loader_fed_devaug_img_s": round(ips_devaug, 2) if ips_devaug
+        else None,
+        "input_stall_frac_devaug": round(1 - ips_devaug / ips_device, 3)
+        if ips_devaug else None,
         "host_cores": os.cpu_count(),
     }
     print(json.dumps(out))
@@ -280,12 +419,15 @@ def bench_train(img: int, batch: int, iters: int = 12,
 def main():
     global BATCH, IMG
     parser = argparse.ArgumentParser()
-    parser.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    parser.add_argument("--dtype", choices=["f32", "bf16", "int8"],
+                        default="bf16")
     parser.add_argument("--mode", choices=["csl", "kfiou"], default="csl")
     parser.add_argument("--ver", choices=["yolov4", "yolov5", "yolov7"],
                         default="yolov7")
     parser.add_argument("--no-deploy", action="store_true",
                         help="benchmark the unfused training-structure graph")
+    parser.add_argument("--no-eval", action="store_true",
+                        help="skip the end-to-end eval throughput drive")
     parser.add_argument("--flops", action="store_true",
                         help="print XLA cost analysis of the forward and exit")
     parser.add_argument("--train", action="store_true",
@@ -380,20 +522,48 @@ def main():
         jax.block_until_ready(detect_b1(*b1[i % len(b1)]))
     lat_ms = (time.perf_counter() - t0) / lat_iters * 1e3
 
+    # device-side b1 latency from a profiler trace (the wall number above
+    # includes the axon-tunnel RTT; deployments care about on-device time)
+    lat_dev_ms = None
+    try:
+        import tempfile
+
+        trace_dir = tempfile.mkdtemp(prefix="bench_b1_trace_")
+        with jax.profiler.trace(trace_dir):
+            for i in range(4):
+                jax.block_until_ready(detect_b1(*b1[i % len(b1)]))
+        lat_dev_ms = device_ms_from_trace(trace_dir, steps=4)
+    except Exception as e:  # noqa: BLE001
+        print(f"# b1 device-latency trace failed: {e!r}")
+
     nms_detect = bench_nms(n_valid=32)
     nms_eval = bench_nms(n_valid=5000)
 
-    print(json.dumps({
+    # full eval-protocol throughput at BASELINE config-3 shape (15-class
+    # 800px, conf .001, max_det 1500) — VERDICT r2 item 3
+    eval_ips = eval_map50 = None
+    if IMG == 800 and args.mode == "csl" and not args.no_eval:
+        try:
+            eval_ips, eval_map50 = bench_eval_ips(model, variables)
+        except Exception as e:  # noqa: BLE001 -- keep the headline line
+            print(f"# eval-ips bench failed: {e!r}")
+
+    out = {
         "metric": f"images_per_sec_chip_{IMG}px_detect_{args.ver}_{args.mode}",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
         "latency_b1_ms": round(lat_ms, 2),
+        "latency_b1_device_ms": round(lat_dev_ms, 2) if lat_dev_ms else None,
         "nms_ms_img_detect": round(nms_detect, 3),
         "nms_ms_img_eval": round(nms_eval, 3),
         "dtype": args.dtype,
         "deploy": not args.no_deploy,
-    }))
+    }
+    if eval_ips is not None:
+        out["eval_ips_800px"] = round(eval_ips, 2)
+        out["eval_map50_synth"] = round(eval_map50, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -162,33 +162,59 @@ def evaluate(
         except ImportError:
             pass
 
-    for batch in iterator:
-        real_b = batch["images"].shape[0]
-        seen += real_b
-        n_batches += 1
+    # Pipelined loop: the jitted step is dispatched asynchronously, so the
+    # device computes batch k+1 while the host converts batch k's (tiny)
+    # results and runs the per-image matcher in a worker thread.  Keeping
+    # ≤ PIPELINE batches in flight bounds device memory; stats order is
+    # preserved via the futures list (AP matching is per-image anyway).
+    import collections
+    import concurrent.futures as cf
 
-        arrays = {k: np.asarray(v) for k, v in batch.items() if k != "paths"}
-        arrays = _pad_batch(arrays, batch_size)
-        if mesh is not None:
-            arrays = {
-                k: jax.device_put(
-                    v, img_sharding if k == "images" else tgt_sharding
-                )
-                for k, v in arrays.items()
-            }
+    PIPELINE = 2
+    in_flight = collections.deque()
+    stat_futures = []
 
-        dets, valid, loss_items = step(variables, arrays)
+    def drain_one():
+        nonlocal total_loss_items
+        (dets, valid, loss_items), tgt, mask, real_b = in_flight.popleft()
         for k, v in loss_items.items():
             total_loss_items[k] = total_loss_items.get(k, 0.0) + float(v)
-
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         outputs_list = [dets[b][valid[b]] for b in range(real_b)]
-
-        target_rows = padded_targets_to_rows(
-            arrays["tgt"][:real_b], arrays["tgt_mask"][:real_b], img_size
+        target_rows = padded_targets_to_rows(tgt, mask, img_size)
+        stat_futures.append(
+            matcher.submit(get_batch_statistics, outputs_list, target_rows,
+                           iouv, niou)
         )
-        stats += get_batch_statistics(outputs_list, target_rows, iouv, niou)
+
+    with cf.ThreadPoolExecutor(max_workers=2) as matcher:
+        for batch in iterator:
+            real_b = batch["images"].shape[0]
+            seen += real_b
+            n_batches += 1
+
+            arrays = {k: np.asarray(v) for k, v in batch.items()
+                      if k != "paths"}
+            arrays = _pad_batch(arrays, batch_size)
+            tgt_host = arrays["tgt"][:real_b]
+            mask_host = arrays["tgt_mask"][:real_b]
+            if mesh is not None:
+                arrays = {
+                    k: jax.device_put(
+                        v, img_sharding if k == "images" else tgt_sharding
+                    )
+                    for k, v in arrays.items()
+                }
+
+            out = step(variables, arrays)  # async dispatch
+            in_flight.append((out, tgt_host, mask_host, real_b))
+            if len(in_flight) >= PIPELINE:
+                drain_one()
+        while in_flight:
+            drain_one()
+        for f in stat_futures:
+            stats += f.result()
 
     stats_cat = [np.concatenate(x, 0) for x in zip(*stats)] if stats else []
     nt, p, r, ap50, ap, f1, ap_class, mp, mr, map50, map5095 = (
