@@ -59,7 +59,12 @@ class Detect:
                                     train=False))
         variables, n = import_state_dict(load_pth(args.weight_path), variables)
         logger.info(f"Loaded {n} tensors from {args.weight_path}")
-        model, variables = fuse_for_inference(model, variables)
+        import jax.numpy as _jnp
+        dep_dtype = {"f32": _jnp.float32, "bf16": _jnp.bfloat16,
+                     "int8": _jnp.bfloat16}[args.dtype]
+        model, variables = fuse_for_inference(
+            model, variables, dtype=dep_dtype,
+            quantize=args.dtype == "int8")
 
         @jax.jit
         def infer(variables, images):
@@ -146,6 +151,10 @@ if __name__ == "__main__":
     parser.add_argument("--hyp", type=str, default="")
     parser.add_argument("--ext", type=str, default="png",
                         choices=["png", "jpg"])
+    parser.add_argument("--dtype", default="f32",
+                        choices=["f32", "bf16", "int8"],
+                        help="deployed compute dtype (int8 = quantized "
+                             "BN-backed convs; decode stays f32)")
     args = parser.parse_args()
     print(args)
 

@@ -30,6 +30,7 @@ class Backbonev4(nn.Module):
 
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,16 +40,16 @@ class Backbonev4(nn.Module):
         else:
             x = ConvBlock(32, 3, 1, "mish", dtype=d, name="cbm0")(x, train)
             x = ConvBlock(64, 3, 2, "mish", dtype=d, name="cbm1")(x, train)
-        x = CSP(64, 64, 1, dtype=d, deploy=self.deploy, name="csp1")(x, train)
-        x = ConvBlock(128, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm2")(x, train)
-        x = CSP(128, 128, 2, dtype=d, deploy=self.deploy, name="csp2")(x, train)
-        x = ConvBlock(256, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm3")(x, train)
-        d3 = CSP(256, 256, 8, dtype=d, deploy=self.deploy, name="csp3")(x, train)
-        x = ConvBlock(512, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm4")(d3, train)
-        d4 = CSP(512, 512, 8, dtype=d, deploy=self.deploy, name="csp4")(x, train)
-        x = ConvBlock(1024, 3, 2, "mish", dtype=d, deploy=self.deploy, name="cbm5")(d4, train)
-        d5 = CSP(1024, 1024, 4, dtype=d, deploy=self.deploy, name="csp5")(x, train)
-        d5 = SPP(1024, 512, dtype=d, deploy=self.deploy, name="spp")(d5, train)
+        x = CSP(64, 64, 1, dtype=d, deploy=self.deploy, quant=self.quant, name="csp1")(x, train)
+        x = ConvBlock(128, 3, 2, "mish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbm2")(x, train)
+        x = CSP(128, 128, 2, dtype=d, deploy=self.deploy, quant=self.quant, name="csp2")(x, train)
+        x = ConvBlock(256, 3, 2, "mish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbm3")(x, train)
+        d3 = CSP(256, 256, 8, dtype=d, deploy=self.deploy, quant=self.quant, name="csp3")(x, train)
+        x = ConvBlock(512, 3, 2, "mish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbm4")(d3, train)
+        d4 = CSP(512, 512, 8, dtype=d, deploy=self.deploy, quant=self.quant, name="csp4")(x, train)
+        x = ConvBlock(1024, 3, 2, "mish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbm5")(d4, train)
+        d5 = CSP(1024, 1024, 4, dtype=d, deploy=self.deploy, quant=self.quant, name="csp5")(x, train)
+        d5 = SPP(1024, 512, dtype=d, deploy=self.deploy, quant=self.quant, name="spp")(d5, train)
         return d3, d4, d5
 
 
@@ -57,22 +58,23 @@ class Backbonev5(nn.Module):
 
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
         # (the 6x6 stride-2 stem is already a strided conv on the raw
         # input — the v7/v4 S2D rewrite targets the stride-1 first conv)
-        x = ConvBlock(64, 6, 2, "swish", dtype=d, deploy=self.deploy, name="cbs0")(x, train)
-        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs1")(x, train)
-        x = C3(128, 128, 3, dtype=d, deploy=self.deploy, name="csp1")(x, train)
-        x = ConvBlock(256, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs2")(x, train)
-        d3 = C3(256, 256, 6, dtype=d, deploy=self.deploy, name="csp2")(x, train)
-        x = ConvBlock(512, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs3")(d3, train)
-        d4 = C3(512, 512, 9, dtype=d, deploy=self.deploy, name="csp3")(x, train)
-        x = ConvBlock(1024, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs4")(d4, train)
-        d5 = C3(1024, 1024, 3, dtype=d, deploy=self.deploy, name="csp4")(x, train)
-        d5 = SPPF(1024, 1024, dtype=d, deploy=self.deploy, name="spp")(d5, train)
+        x = ConvBlock(64, 6, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs0")(x, train)
+        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs1")(x, train)
+        x = C3(128, 128, 3, dtype=d, deploy=self.deploy, quant=self.quant, name="csp1")(x, train)
+        x = ConvBlock(256, 3, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs2")(x, train)
+        d3 = C3(256, 256, 6, dtype=d, deploy=self.deploy, quant=self.quant, name="csp2")(x, train)
+        x = ConvBlock(512, 3, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs3")(d3, train)
+        d4 = C3(512, 512, 9, dtype=d, deploy=self.deploy, quant=self.quant, name="csp3")(x, train)
+        x = ConvBlock(1024, 3, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs4")(d4, train)
+        d5 = C3(1024, 1024, 3, dtype=d, deploy=self.deploy, quant=self.quant, name="csp4")(x, train)
+        d5 = SPPF(1024, 1024, dtype=d, deploy=self.deploy, quant=self.quant, name="spp")(d5, train)
         return d3, d4, d5
 
 
@@ -81,6 +83,7 @@ class Backbonev7(nn.Module):
 
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,16 +93,16 @@ class Backbonev7(nn.Module):
         else:
             x = ConvBlock(32, 3, 1, "swish", dtype=d, name="cbs0")(x, train)
             x = ConvBlock(64, 3, 2, "swish", dtype=d, name="cbs1")(x, train)
-        x = ConvBlock(64, 3, 1, "swish", dtype=d, deploy=self.deploy, name="cbs2")(x, train)
-        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, name="cbs3")(x, train)
-        x = ELAN1(128, 256, dtype=d, deploy=self.deploy, name="elan1")(x, train)
-        x = MaxConv(256, dtype=d, deploy=self.deploy, name="mc1")(x, train)
-        d3 = ELAN1(256, 512, dtype=d, deploy=self.deploy, name="elan2")(x, train)
-        x = MaxConv(512, dtype=d, deploy=self.deploy, name="mc2")(d3, train)
-        d4 = ELAN1(512, 1024, dtype=d, deploy=self.deploy, name="elan3")(x, train)
-        x = MaxConv(1024, dtype=d, deploy=self.deploy, name="mc3")(d4, train)
-        d5 = ELAN1(1024, 1024, e1=0.25, e2=0.25, dtype=d, deploy=self.deploy, name="elan4")(x, train)
-        d5 = SPPCSPC(1024, 512, dtype=d, deploy=self.deploy, name="spp")(d5, train)
+        x = ConvBlock(64, 3, 1, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs2")(x, train)
+        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs3")(x, train)
+        x = ELAN1(128, 256, dtype=d, deploy=self.deploy, quant=self.quant, name="elan1")(x, train)
+        x = MaxConv(256, dtype=d, deploy=self.deploy, quant=self.quant, name="mc1")(x, train)
+        d3 = ELAN1(256, 512, dtype=d, deploy=self.deploy, quant=self.quant, name="elan2")(x, train)
+        x = MaxConv(512, dtype=d, deploy=self.deploy, quant=self.quant, name="mc2")(d3, train)
+        d4 = ELAN1(512, 1024, dtype=d, deploy=self.deploy, quant=self.quant, name="elan3")(x, train)
+        x = MaxConv(1024, dtype=d, deploy=self.deploy, quant=self.quant, name="mc3")(d4, train)
+        d5 = ELAN1(1024, 1024, e1=0.25, e2=0.25, dtype=d, deploy=self.deploy, quant=self.quant, name="elan4")(x, train)
+        d5 = SPPCSPC(1024, 512, dtype=d, deploy=self.deploy, quant=self.quant, name="spp")(d5, train)
         return d3, d4, d5
 
 

@@ -100,6 +100,14 @@ class ConvBlock(nn.Module):
 
     Mirrors ``model/utils.py:6-32``; bias only for detection heads
     (``bias=True, bn=False, activation='linear'``).
+
+    With ``deploy=True, quant=True`` the (BN-folded) conv runs on the int8
+    MXU path: per-output-channel symmetric int8 weights (scales produced by
+    :func:`ryolo_tpu.nn.deploy.fuse_variables`) with a dynamic per-tensor
+    activation scale — the max/round/clip quantize fuses into the previous
+    op's epilogue, the conv accumulates in int32 at 2× the bf16 MXU rate,
+    and the dequant+bias+activation fuse into this conv's epilogue.
+    Detection-head convs (``bn=False``) never quantize.
     """
 
     out_ch: int
@@ -110,10 +118,36 @@ class ConvBlock(nn.Module):
     bias: bool = False
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.k - 1) // 2
+        if self.quant and self.deploy and self.bn:
+            kh = kw = self.k
+            cin = x.shape[-1]
+            kernel_q = self.param(
+                "kernel_q",
+                lambda key: jnp.zeros((kh, kw, cin, self.out_ch), jnp.int8),
+            )
+            wscale = self.param(
+                "wscale", lambda key: jnp.ones((self.out_ch,), jnp.float32)
+            )
+            bias = self.param(
+                "bias", lambda key: jnp.zeros((self.out_ch,), jnp.float32)
+            )
+            x32 = x.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12)
+            q = jnp.clip(jnp.round(x32 * (127.0 / s)), -127.0,
+                         127.0).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                q, kernel_q, (self.stride, self.stride),
+                [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (wscale * (s / 127.0)) + bias
+            return ACTIVATIONS[self.act](y).astype(self.dtype)
         fold_bn = self.bn and self.deploy  # BN folded into conv at fuse time
         x = nn.Conv(
             self.out_ch,
@@ -136,7 +170,8 @@ class ConvBlock(nn.Module):
 
 
 def parallel_cv12(x, h1: int, h2: int, act: str, train: bool, deploy: bool,
-                  dtype, name1: str = "cv1", name2: str = "cv2"):
+                  dtype, quant: bool = False, name1: str = "cv1",
+                  name2: str = "cv2"):
     """Two parallel same-input 1×1 convs, packed into ONE at deploy time.
 
     Several blocks (ELAN1/ELAN2 ``model/utils.py:98-143``, CSP ``:49-64``,
@@ -149,7 +184,7 @@ def parallel_cv12(x, h1: int, h2: int, act: str, train: bool, deploy: bool,
     """
     if deploy:
         y = ConvBlock(h1 + h2, 1, 1, act, dtype=dtype, deploy=True,
-                      name=f"{name1}{name2[-1]}")(x, train)
+                      quant=quant, name=f"{name1}{name2[-1]}")(x, train)
         return y[..., :h1], y[..., h1:]
     a = ConvBlock(h1, 1, 1, act, dtype=dtype, name=name1)(x, train)
     b = ConvBlock(h2, 1, 1, act, dtype=dtype, name=name2)(x, train)
@@ -165,14 +200,15 @@ class Bottleneck(nn.Module):
     act: str = "mish"
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
         y = ConvBlock(c_, 1, 1, self.act, dtype=self.dtype,
-                      deploy=self.deploy, name="cv1")(x, train)
+                      deploy=self.deploy, quant=self.quant, name="cv1")(x, train)
         y = ConvBlock(self.c2, 3, 1, self.act, dtype=self.dtype,
-                      deploy=self.deploy, name="cv2")(y, train)
+                      deploy=self.deploy, quant=self.quant, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             y = x + y
         return y
@@ -188,21 +224,24 @@ class CSP(nn.Module):
     e: float = 0.5
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
         y1, y2 = parallel_cv12(x, c_, c_, "mish", train, self.deploy,
-                               self.dtype)
+                               self.dtype, self.quant)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, e=1.0, act="mish",
                             dtype=self.dtype, deploy=self.deploy,
-                            name=f"m_{i}")(y1, train)
+                            quant=self.quant, name=f"m_{i}")(y1, train)
         y1 = ConvBlock(c_, 1, 1, "mish", dtype=self.dtype,
-                       deploy=self.deploy, name="cv3")(y1, train)
+                       deploy=self.deploy, quant=self.quant,
+                       name="cv3")(y1, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBlock(self.c2, 1, 1, "mish", dtype=self.dtype,
-                         deploy=self.deploy, name="cv4")(y, train)
+                         deploy=self.deploy, quant=self.quant,
+                         name="cv4")(y, train)
 
 
 class C5(nn.Module):
@@ -213,11 +252,12 @@ class C5(nn.Module):
     e: float = 0.5
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x = ConvBlock(c_, 1, 1, "leaky", name="cv1", **kw)(x, train)
         x = ConvBlock(self.c1, 3, 1, "leaky", name="cv2", **kw)(x, train)
         x = ConvBlock(c_, 1, 1, "leaky", name="cv3", **kw)(x, train)
@@ -235,13 +275,14 @@ class C3(nn.Module):
     e: float = 0.5
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         y1, y2 = parallel_cv12(x, c_, c_, "swish", train, self.deploy,
-                               self.dtype)
+                               self.dtype, self.quant)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, e=1.0, act="swish",
                             name=f"m_{i}", **kw)(y1, train)
@@ -258,14 +299,15 @@ class ELAN1(nn.Module):
     e2: float = 0.5
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h1 = int(self.c1 * self.e1)
         h2 = int(self.c1 * self.e2)
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x1, x2 = parallel_cv12(x, h1, h1, "swish", train, self.deploy,
-                               self.dtype)
+                               self.dtype, self.quant)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
         x4 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x3, train)
@@ -283,14 +325,15 @@ class ELAN2(nn.Module):
     e2: float = 0.25
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h1 = int(self.c1 * self.e1)
         h2 = int(self.c1 * self.e2)
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x1, x2 = parallel_cv12(x, h1, h1, "swish", train, self.deploy,
-                               self.dtype)
+                               self.dtype, self.quant)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
         x4 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
         x5 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x4, train)
@@ -306,11 +349,12 @@ class MaxConv(nn.Module):
     e: float = 0.5
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c1 * self.e)
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x1 = nn.max_pool(x, (2, 2), strides=(2, 2))
         x1 = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x1, train)
         x2 = ConvBlock(c_, 1, 1, "swish", name="cv2", **kw)(x, train)
@@ -367,11 +411,36 @@ class RepConv(nn.Module):
     s: int = 1
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = 1
         if self.deploy:
+            if self.quant:  # int8 MXU path, same scheme as ConvBlock
+                cin = x.shape[-1]
+                kernel_q = self.param(
+                    "fused_q",
+                    lambda key: jnp.zeros((self.k, self.k, cin, self.c2),
+                                          jnp.int8),
+                )
+                wscale = self.param(
+                    "wscale", lambda key: jnp.ones((self.c2,), jnp.float32)
+                )
+                bias = self.param(
+                    "bias", lambda key: jnp.zeros((self.c2,), jnp.float32)
+                )
+                x32 = x.astype(jnp.float32)
+                sa = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12)
+                q = jnp.clip(jnp.round(x32 * (127.0 / sa)), -127.0,
+                             127.0).astype(jnp.int8)
+                acc = jax.lax.conv_general_dilated(
+                    q, kernel_q, (self.s, self.s), [(p, p), (p, p)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(jnp.float32) * (wscale * (sa / 127.0)) + bias
+                return jax.nn.silu(y).astype(self.dtype)
             y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
                         padding=[(p, p), (p, p)], use_bias=True,
                         dtype=self.dtype, name="fused")(x)
@@ -402,11 +471,12 @@ class SPP(nn.Module):
     c2: int
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c1 // 2
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x = ConvBlock(c_, 1, 1, "leaky", name="cv1", **kw)(x, train)
         x = ConvBlock(self.c1, 3, 1, "leaky", name="cv2", **kw)(x, train)
         x = ConvBlock(c_, 1, 1, "leaky", name="cv3", **kw)(x, train)
@@ -427,11 +497,12 @@ class SPPF(nn.Module):
     k: int = 5
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c1 // 2
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x, train)
         y1 = max_pool_same(x, self.k)
         y2 = max_pool_same(y1, self.k)
@@ -449,13 +520,14 @@ class SPPCSPC(nn.Module):
     pools: Sequence[int] = (5, 9, 13)
     dtype: Dtype = jnp.float32
     deploy: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(2 * self.c2 * self.e)
-        kw = dict(dtype=self.dtype, deploy=self.deploy)
+        kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x1, y2 = parallel_cv12(x, c_, c_, "swish", train, self.deploy,
-                               self.dtype)
+                               self.dtype, self.quant)
         x1 = ConvBlock(c_, 3, 1, "swish", name="cv3", **kw)(x1, train)
         x1 = ConvBlock(c_, 1, 1, "swish", name="cv4", **kw)(x1, train)
         y1 = jnp.concatenate([x1] + [max_pool_same(x1, k) for k in self.pools],

@@ -80,7 +80,10 @@ def _is_convblock(node: Mapping) -> bool:
     return "conv" in node and "bn" in node
 
 
-def _walk(params: Mapping, stats: Mapping) -> dict:
+def _walk(params: Mapping, stats: Mapping, folded=None, path=()) -> dict:
+    """Fold BN into convs; record folded paths in ``folded`` (BN-backed
+    convs and RepConvs are the int8-quantizable set — head convs have no
+    BN and are structurally indistinguishable in the output tree)."""
     out = {}
     for name, node in params.items():
         sub_stats = stats.get(name, {}) if isinstance(stats, Mapping) else {}
@@ -88,13 +91,17 @@ def _walk(params: Mapping, stats: Mapping) -> dict:
             out[name] = np.asarray(node)
         elif "dense_conv" in node:
             out[name] = _fuse_repconv(node, sub_stats)
+            if folded is not None:
+                folded.add(path + (name, "repconv"))
         elif _is_convblock(node):
             out[name] = {"conv": _fold_conv_bn(node["conv"], node["bn"],
                                                sub_stats["bn"])}
+            if folded is not None:
+                folded.add(path + (name,))
         elif "implicit" in node:
             continue  # ImplicitA/M: folded by the neck post-pass below
         else:
-            out[name] = _walk(node, sub_stats)
+            out[name] = _walk(node, sub_stats, folded, path + (name,))
     return out
 
 
@@ -118,7 +125,7 @@ _CV12_MERGE_PATHS = {
 }
 
 
-def _merge_cv12(fused: dict, ver: str) -> None:
+def _merge_cv12(fused: dict, ver: str, folded=None) -> None:
     """Pack parallel cv1/cv2 pairs into one conv (in place, exact)."""
     for part, name in _CV12_MERGE_PATHS.get(ver, ()):
         node = fused.get(part, {}).get(name)
@@ -129,6 +136,43 @@ def _merge_cv12(fused: dict, ver: str) -> None:
             "kernel": np.concatenate([c1["kernel"], c2["kernel"]], axis=-1),
             "bias": np.concatenate([c1["bias"], c2["bias"]], axis=-1),
         }}
+        if folded is not None:
+            folded.discard((part, name, "cv1"))
+            folded.discard((part, name, "cv2"))
+            folded.add((part, name, "cv12"))
+
+
+def _quantize_node(conv: Mapping) -> dict:
+    """f32 {kernel, bias} -> int8 {kernel_q, wscale, bias} (per-O-channel
+    symmetric; matches ConvBlock's quantized apply)."""
+    k = _np64(conv["kernel"])  # (kh, kw, I, O)
+    wscale = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    kq = np.clip(np.round(k / wscale), -127, 127).astype(np.int8)
+    return {"kernel_q": kq, "wscale": np.float32(wscale),
+            "bias": np.float32(conv["bias"])}
+
+
+def _quantize_fused(fused: dict, folded) -> None:
+    """Convert every BN-backed conv to the int8 layout (in place)."""
+    for path in folded:
+        node = fused
+        if path and path[-1] == "repconv":
+            for p in path[:-2]:
+                node = node.get(p, {})
+            rep = node.get(path[-2])
+            if rep is None or "fused" not in rep:
+                continue
+            q = _quantize_node(rep.pop("fused"))
+            rep["fused_q"] = q["kernel_q"]
+            rep["wscale"] = q["wscale"]
+            rep["bias"] = q["bias"]
+            continue
+        for p in path[:-1]:
+            node = node.get(p, {})
+        leaf = node.get(path[-1])
+        if leaf is None or "conv" not in leaf:
+            continue  # e.g. rewritten into the s2d stem
+        node[path[-1]] = _quantize_node(leaf.pop("conv"))
 
 
 def _s2d_scatter_s1(w: np.ndarray) -> np.ndarray:
@@ -210,16 +254,20 @@ def _maybe_s2d_stem(fused_backbone: dict) -> None:
         return
 
 
-def fuse_variables(variables: Mapping, ver: str | None = None) -> dict:
+def fuse_variables(variables: Mapping, ver: str | None = None,
+                   quantize: bool = False) -> dict:
     """Fuse a training-structure variable collection into deploy params.
 
     ``ver`` ("yolov4"/"yolov5"/"yolov7") additionally packs the parallel
     cv1/cv2 1×1 pairs (``_CV12_MERGE_PATHS``); when None it is inferred
     from the param tree's architecture-specific module names.
+    ``quantize`` converts every BN-backed conv (and RepConv) to the int8
+    MXU layout — head convs and the S2D stem stay full precision.
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
-    fused = _walk(params, stats)
+    folded: set = set()
+    fused = _walk(params, stats, folded)
     neck = params.get("neck", {})
     if "ia1" in neck:  # v7 implicit-prior heads
         for ia, conv, im in _V7_HEADS:
@@ -231,7 +279,9 @@ def fuse_variables(variables: Mapping, ver: str | None = None) -> dict:
         _maybe_s2d_stem(fused["backbone"])
     if ver is None:
         ver = _infer_ver(params)
-    _merge_cv12(fused, ver)
+    _merge_cv12(fused, ver, folded)
+    if quantize:
+        _quantize_fused(fused, folded)
     return {"params": fused}
 
 
@@ -245,13 +295,20 @@ def _infer_ver(params: Mapping) -> str:
     return "yolov4"
 
 
-def fuse_for_inference(model, variables, dtype=None) -> Tuple[Any, dict]:
+def fuse_for_inference(model, variables, dtype=None,
+                       quantize: bool = False) -> Tuple[Any, dict]:
     """Return ``(deploy_model, deploy_variables)`` for an inference path.
 
     ``model`` is a training-structure :class:`ryolo_tpu.nn.Yolo`;
     ``dtype`` optionally overrides the deployed compute dtype (e.g.
-    ``jnp.bfloat16`` for MXU-native inference — decode stays float32).
+    ``jnp.bfloat16`` for MXU-native inference — decode stays float32);
+    ``quantize=True`` additionally runs the BN-backed convs on the int8
+    MXU path (per-channel weights, dynamic per-tensor activation scales —
+    2× the bf16 matmul rate; heads/stem/decode stay full precision).
     """
-    deploy_model = model.clone(deploy=True,
-                               dtype=dtype if dtype is not None else model.dtype)
-    return deploy_model, fuse_variables(variables, ver=model.ver)
+    deploy_model = model.clone(
+        deploy=True, quant=quantize,
+        dtype=dtype if dtype is not None else model.dtype,
+    )
+    return deploy_model, fuse_variables(variables, ver=model.ver,
+                                        quantize=quantize)

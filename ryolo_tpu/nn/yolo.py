@@ -61,6 +61,9 @@ class Yolo(nn.Module):
     # Inference-only fused graph (BN folded, RepConv merged, Implicit priors
     # absorbed); params come from ryolo_tpu.nn.deploy.fuse_for_inference.
     deploy: bool = False
+    # int8 MXU path for the BN-backed convs (deploy graphs only); params
+    # come from fuse_for_inference(quantize=True).
+    quant: bool = False
 
     def setup(self):
         if self.mode not in ("csl", "kfiou"):
@@ -80,9 +83,11 @@ class Yolo(nn.Module):
 
         self.backbone = BACKBONES[self.ver](dtype=self.dtype,
                                             deploy=self.deploy,
+                                            quant=self.quant,
                                             name="backbone")
         self.neck = NECKS[self.ver](out_ch, dtype=self.dtype,
-                                    deploy=self.deploy, name="neck")
+                                    deploy=self.deploy, quant=self.quant,
+                                    name="neck")
 
     def __call__(self, images, train: bool = False, decode: bool = False):
         d3, d4, d5 = self.backbone(images, train)

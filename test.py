@@ -58,7 +58,12 @@ class Test:
 
         # deploy-fused inference graph (BN fold + RepConv merge): exact to
         # f32 rounding, removes every BN from the compiled eval program
-        model, variables = fuse_for_inference(model, variables)
+        import jax.numpy as _jnp
+        dep_dtype = {"f32": _jnp.float32, "bf16": _jnp.bfloat16,
+                     "int8": _jnp.bfloat16}[args.dtype]
+        model, variables = fuse_for_inference(
+            model, variables, dtype=dep_dtype,
+            quantize=args.dtype == "int8")
 
         evaluate(
             model, variables, loss_fn, data, hyp_cfg, csl, args.img_size,
@@ -81,6 +86,10 @@ if __name__ == "__main__":
     parser.add_argument("--data", type=str, default="")
     parser.add_argument("--hyp", type=str, default="")
     parser.add_argument("--max_targets", type=int, default=300)
+    parser.add_argument("--dtype", default="f32",
+                        choices=["f32", "bf16", "int8"],
+                        help="deployed compute dtype (int8 = quantized "
+                             "BN-backed convs; decode stays f32)")
     args = parser.parse_args()
     print(args)
 

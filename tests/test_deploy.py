@@ -76,6 +76,40 @@ def test_fused_forward_matches_training_graph(ver, mode):
                                rtol=1e-3, atol=2e-2)
 
 
+@pytest.mark.parametrize("ver,mode", [
+    ("yolov7", "csl"),
+    ("yolov5", "kfiou"),
+])
+def test_int8_deploy_close_to_f32(ver, mode):
+    """The quantized deploy graph (per-channel int8 weights, dynamic
+    per-tensor activation scales) must track the f32 deploy graph closely:
+    decoded confidences within a few 1e-2, box centers within ~a pixel.
+    (Exactness is impossible by construction; the mAP-level gate lives in
+    tests/test_trained_parity.py.)"""
+    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode=mode, ver=ver)
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 1, (2, 64, 64, 3)), jnp.float32
+    )
+    variables = _randomized_variables(model, x)
+
+    f_model, f_vars = fuse_for_inference(model, variables)
+    _, f_dec = f_model.apply(f_vars, x, train=False, decode=True)
+    q_model, q_vars = fuse_for_inference(model, variables, quantize=True)
+    _, q_dec = q_model.apply(q_vars, x, train=False, decode=True)
+
+    # int8 params actually present (not silently running f32)
+    leaves = jax.tree_util.tree_leaves_with_path(q_vars["params"])
+    n_q = sum(1 for p, l in leaves if np.asarray(l).dtype == np.int8)
+    assert n_q > 20, f"only {n_q} int8 kernels in the quantized tree"
+
+    f_dec = np.asarray(f_dec)
+    q_dec = np.asarray(q_dec)
+    # confidences (sigmoid-squashed): small absolute drift
+    assert np.abs(q_dec[..., 5:] - f_dec[..., 5:]).max() < 0.05
+    # box geometry within ~1px at this 64px scale
+    assert np.abs(q_dec[..., :4] - f_dec[..., :4]).max() < 1.5
+
+
 def test_fused_param_count_shrinks():
     """RepConv 3-branch + BN params disappear from the deployed tree."""
     model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode="csl",
