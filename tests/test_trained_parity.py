@@ -11,8 +11,9 @@ then runs BOTH eval stacks on the same val split with the reference protocol
   * ours: ``ryolo_tpu.eval.evaluator.evaluate`` end to end.
 
 Asserts mAP@.5 and mAP@.5:.95 agree within ±0.005 (±0.5 points) on weights
-that actually detect (mAP@.5 > 0.5), closing the random-weights-only gap
-from round 1.
+that actually detect (mAP@.5 > 0.5), for BOTH angle strategies (CSL and
+KFIoU — the KFIoU case additionally pins the 18-rotated-anchor decode and
+its train/infer asymmetry end to end through trained weights).
 """
 
 import importlib.util
@@ -113,20 +114,34 @@ def _read_val_split(root):
     return np.stack(imgs), np.asarray(rows, np.float32)
 
 
-def _train_overfit(root, steps=520):
+def _train_overfit(root, steps=520, mode="csl"):
+    import math
+
     from ryolo_tpu.data.loader import load_data
-    from ryolo_tpu.losses import csl_loss
+    from ryolo_tpu.losses import csl_loss, kfiou_loss
     from ryolo_tpu.nn import Yolo
-    from ryolo_tpu.nn.yolo import STRIDES, make_anchors
+    from ryolo_tpu.nn.yolo import (
+        STRIDES,
+        make_anchors,
+        make_rotated_anchors,
+    )
     from ryolo_tpu.train.trainer import Trainer, weights_init_normal
 
-    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode="csl",
+    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode=mode,
                  ver="yolov5")
-    anchors = make_anchors(STRIDES, MODEL_CFG["anchors"])
+    if mode == "csl":
+        anchors = make_anchors(STRIDES, MODEL_CFG["anchors"])
 
-    def loss_fn(outputs, b):
-        return csl_loss(outputs, b["tgt"], b["tgt_csl"], b["tgt_mask"],
-                        anchors, NC, HYP)
+        def loss_fn(outputs, b):
+            return csl_loss(outputs, b["tgt"], b["tgt_csl"], b["tgt_mask"],
+                            anchors, NC, HYP)
+    else:
+        angles = [a * math.pi / 180 for a in MODEL_CFG["angles"]]
+        anchors = make_rotated_anchors(STRIDES, MODEL_CFG["anchors"], angles)
+
+        def loss_fn(outputs, b):
+            return kfiou_loss(outputs, b["tgt"], b["tgt_mask"], anchors, NC,
+                              HYP)
 
     variables = dict(model.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 64, 64, 3)), train=False))
@@ -136,8 +151,9 @@ def _train_overfit(root, steps=520):
     state = trainer.init_state(variables)
 
     _, loader = load_data(os.path.join(root, "train"), ["a", "b"], "custom",
-                          HYP, csl=True, img_size=IMG, batch_size=4,
-                          augment=False, shuffle=True, max_targets=16)
+                          HYP, csl=(mode == "csl"), img_size=IMG,
+                          batch_size=4, augment=False, shuffle=True,
+                          max_targets=16)
     step = 0
     losses = []
     while step < steps:
@@ -157,7 +173,8 @@ def _train_overfit(root, steps=520):
 
 
 @pytest.mark.slow
-def test_trained_checkpoint_map_parity(tmp_path):
+@pytest.mark.parametrize("mode", ["csl", "kfiou"])
+def test_trained_checkpoint_map_parity(tmp_path, mode):
     sys.path.insert(0, os.path.dirname(__file__))
     from make_synth_data import main as make_synth
 
@@ -171,7 +188,7 @@ def test_trained_checkpoint_map_parity(tmp_path):
     make_synth(root, n_images=8, img_size=IMG, seed=11,
                w_range=(0.18, 0.28), ratio=(1.2, 1.6))
 
-    model, variables = _train_overfit(root)
+    model, variables = _train_overfit(root, mode=mode)
     pth = str(tmp_path / "trained.pth")
     save_pth(variables, "yolov5", pth)
 
@@ -180,7 +197,7 @@ def test_trained_checkpoint_map_parity(tmp_path):
             "type": "custom"}
     dep_model, dep_vars = fuse_for_inference(model, variables)
     _, _, map50, map5095, _ = evaluate(
-        dep_model, dep_vars, None, data, HYP, True, IMG, 4,
+        dep_model, dep_vars, None, data, HYP, mode == "csl", IMG, 4,
         conf_thres=0.001, iou_thres=0.65, max_targets=32, progress=False,
     )
 
@@ -188,7 +205,7 @@ def test_trained_checkpoint_map_parity(tmp_path):
     ref_test = _ref_test_module()
     from model.yolo import Yolo as RefYolo
 
-    ref_model = RefYolo(NC, MODEL_CFG, "csl", "yolov5")
+    ref_model = RefYolo(NC, MODEL_CFG, mode, "yolov5")
     ref_model.load_state_dict(
         torch.load(pth, map_location="cpu", weights_only=False)
     )
@@ -216,4 +233,16 @@ def test_trained_checkpoint_map_parity(tmp_path):
     # parity first (the BASELINE bar), quality floor second
     assert abs(map50 - ref_map50) <= 5e-3, (map50, ref_map50)
     assert abs(map5095 - ref_map5095) <= 5e-3, (map5095, ref_map5095)
-    assert map50 > 0.3, f"model failed to learn (ours mAP@.5 = {map50})"
+    assert map50 > 0.5, f"model failed to learn (ours mAP@.5 = {map50})"
+
+    if mode == "csl":
+        # int8 deploy path on the SAME trained weights: mAP must stay
+        # within the BASELINE ±0.5-point parity envelope of the f32 eval
+        q_model, q_vars = fuse_for_inference(model, variables, quantize=True)
+        _, _, q_map50, q_map5095, _ = evaluate(
+            q_model, q_vars, None, data, HYP, True, IMG, 4,
+            conf_thres=0.001, iou_thres=0.65, max_targets=32,
+            progress=False,
+        )
+        assert abs(q_map50 - map50) <= 5e-3, (q_map50, map50)
+        assert abs(q_map5095 - map5095) <= 1e-2, (q_map5095, map5095)
