@@ -135,7 +135,8 @@ class Train:
             data["train"], data["names"], data["type"], hyp_cfg, csl,
             img_size=args.img_size, batch_size=args.batch_size, augment=True,
             shuffle=True, max_targets=args.max_targets, drop_last=True,
-            shard=shard,
+            shard=shard, device_augment=args.device_augment,
+            cache_images=args.cache_images,
         )
         iters_per_epoch = len(train_loader)
 
@@ -206,6 +207,22 @@ class Train:
                 else:
                     acc_now, lr_now = accumulate, lr
 
+                if args.device_augment:
+                    # specs -> images on device (mosaic/warp/HSV/mixup as
+                    # XLA ops; host only decoded + did label math)
+                    from ryolo_tpu.data.device_augment import render_specs
+
+                    sa = {k: jnp.asarray(v) for k, v in batch.items()
+                          if k != "paths"}
+                    images = render_specs(
+                        sa["spec_tiles"], sa["spec_region"],
+                        sa["spec_offset"], sa["spec_hsv"], sa["spec_minv"],
+                        sa["spec_flip"], sa["spec_mix_idx"],
+                        sa["spec_mix_r"], n_out=args.batch_size)
+                    batch = {"images": images, "tgt": sa["tgt"],
+                             "tgt_mask": sa["tgt_mask"]}
+                    if "tgt_csl" in sa:
+                        batch["tgt_csl"] = sa["tgt_csl"]
                 if mesh is not None:
                     from ryolo_tpu.parallel.mesh import shard_batch
 
@@ -321,6 +338,11 @@ def build_parser():
                         help="capture a jax.profiler trace of one train step")
     parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                         help="compute dtype (params stay f32)")
+    parser.add_argument("--device_augment", action="store_true",
+                        help="run mosaic/warp/HSV/mixup on device (host "
+                             "does decode + label math only)")
+    parser.add_argument("--cache_images", action="store_true",
+                        help="cache decoded resized images in host RAM")
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel mesh size (devices)")
     parser.add_argument("--sp", type=int, default=1,
