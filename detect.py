@@ -62,9 +62,10 @@ class Detect:
         import jax.numpy as _jnp
         dep_dtype = {"f32": _jnp.float32, "bf16": _jnp.bfloat16,
                      "int8": _jnp.bfloat16}[args.dtype]
+        packed = args.packed_input and args.ver in ("yolov7", "yolov4")
         model, variables = fuse_for_inference(
             model, variables, dtype=dep_dtype,
-            quantize=args.dtype == "int8")
+            quantize=args.dtype == "int8", packed_input=packed)
 
         @jax.jit
         def infer(variables, images):
@@ -84,6 +85,10 @@ class Detect:
             items = [dataset[j] for j in range(i, min(i + bs, len(dataset)))]
             paths = [p for p, _ in items]
             images = np.stack([im for _, im in items])
+            if packed:  # letterbox emits the S2D-packed layout
+                from ryolo_tpu.nn.blocks import pack_input_s2d
+
+                images = pack_input_s2d(images)
             return paths, images
 
         start = time.time()
@@ -155,6 +160,9 @@ if __name__ == "__main__":
                         choices=["f32", "bf16", "int8"],
                         help="deployed compute dtype (int8 = quantized "
                              "BN-backed convs; decode stays f32)")
+    parser.add_argument("--packed_input", action="store_true",
+                        help="letterbox emits the 2x2 space-to-depth "
+                             "packed layout (faster stem; v7/v4 only)")
     args = parser.parse_args()
     print(args)
 

@@ -31,12 +31,14 @@ class Backbonev4(nn.Module):
     dtype: Dtype = jnp.float32
     deploy: bool = False
     quant: bool = False
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
         if self.deploy:  # exact S2D reparametrization of cbm0+cbm1
-            x = S2DStem(32, 64, act="mish", dtype=d, name="s2d_stem")(x, train)
+            x = S2DStem(32, 64, act="mish", dtype=d,
+                        packed=self.packed_input, name="s2d_stem")(x, train)
         else:
             x = ConvBlock(32, 3, 1, "mish", dtype=d, name="cbm0")(x, train)
             x = ConvBlock(64, 3, 2, "mish", dtype=d, name="cbm1")(x, train)
@@ -59,6 +61,7 @@ class Backbonev5(nn.Module):
     dtype: Dtype = jnp.float32
     deploy: bool = False
     quant: bool = False
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -84,12 +87,14 @@ class Backbonev7(nn.Module):
     dtype: Dtype = jnp.float32
     deploy: bool = False
     quant: bool = False
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
         if self.deploy:  # exact S2D reparametrization of cbs0+cbs1
-            x = S2DStem(32, 64, dtype=d, name="s2d_stem")(x, train)
+            x = S2DStem(32, 64, dtype=d, packed=self.packed_input,
+                        name="s2d_stem")(x, train)
         else:
             x = ConvBlock(32, 3, 1, "swish", dtype=d, name="cbs0")(x, train)
             x = ConvBlock(64, 3, 2, "swish", dtype=d, name="cbs1")(x, train)

@@ -72,27 +72,56 @@ class S2DStem(nn.Module):
     c1: int  # original second-conv output channels
     act: str = "swish"
     dtype: Dtype = jnp.float32
+    # packed=True consumes HOST-packed 2×2 space-to-depth input
+    # (B, S/2, S/2, 4·3) — see pack_input_s2d; conv0 then runs 3×3 stride-1
+    # over 12 channels (K = 108 of 128 MXU reduction lanes) and XLA's ~1 ms
+    # batch-minor input relayout for the 3-channel conv disappears.
+    # (Packing ON DEVICE was profiled at ~2.4 ms of layout copies — a net
+    # loss — so the packed layout must come from the input pipeline, where
+    # it replaces the NHWC write of the letterbox at equal byte count.)
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # The packed-border synthesis is exact only when the stride-2 grid
-        # tiles the input; odd sizes would silently change border activations
-        if x.shape[1] % 2 or x.shape[2] % 2:
-            raise ValueError(
-                f"S2DStem requires even spatial dims, got {x.shape[1:3]} "
-                "(detector inputs are multiples of 32)"
-            )
         f = ACTIVATIONS[self.act]
-        # conv0: 4x4 stride-2 pad (1,2) over the RAW input — computes the
-        # S2D packing of the original stride-1 conv's output directly, so
-        # no device-side space-to-depth relayout copies are needed
-        x = nn.Conv(4 * self.c0, (4, 4), strides=(2, 2),
-                    padding=[(1, 2), (1, 2)], use_bias=True,
-                    dtype=self.dtype, name="conv0")(x)
+        if self.packed:
+            x = nn.Conv(4 * self.c0, (3, 3), strides=(1, 1),
+                        padding=[(1, 1), (1, 1)], use_bias=True,
+                        dtype=self.dtype, name="conv0")(x)
+        else:
+            # The packed-border synthesis is exact only when the stride-2
+            # grid tiles the input; odd sizes would silently change border
+            # activations
+            if x.shape[1] % 2 or x.shape[2] % 2:
+                raise ValueError(
+                    f"S2DStem requires even spatial dims, got {x.shape[1:3]}"
+                    " (detector inputs are multiples of 32)"
+                )
+            # conv0: 4x4 stride-2 pad (1,2) over the RAW input — computes
+            # the S2D packing of the original stride-1 conv's output
+            x = nn.Conv(4 * self.c0, (4, 4), strides=(2, 2),
+                        padding=[(1, 2), (1, 2)], use_bias=True,
+                        dtype=self.dtype, name="conv0")(x)
         x = f(x)
         x = nn.Conv(self.c1, (2, 2), padding=[(1, 0), (1, 0)],
                     use_bias=True, dtype=self.dtype, name="conv1")(x)
         return f(x)
+
+
+def pack_input_s2d(images):
+    """HOST-side 2×2 space-to-depth packing of letterboxed images.
+
+    ``(B, S, S, C) -> (B, S/2, S/2, 4C)`` with channel ``(u·2+v)·C + c`` =
+    pixel phase (u, v) — the input layout of ``S2DStem(packed=True)``.
+    Numpy; meant to run in the input pipeline where it replaces the plain
+    NHWC write at equal byte count.
+    """
+    import numpy as np
+
+    b, h, w, c = images.shape
+    xp = images.reshape(b, h // 2, 2, w // 2, 2, c)
+    xp = np.ascontiguousarray(xp.transpose(0, 1, 3, 2, 4, 5))
+    return xp.reshape(b, h // 2, w // 2, 4 * c)
 
 
 class ConvBlock(nn.Module):
@@ -120,10 +149,17 @@ class ConvBlock(nn.Module):
     deploy: bool = False
     quant: bool = False
 
+    # int8 pays only where the MXU is the bottleneck: narrow convs are
+    # layout/bandwidth-bound and the quantize epilogues make them SLOWER
+    # (microbenched r3: 512ch 1.37x faster, 128ch 1.02x, 64ch 0.97x)
+    QUANT_MIN_CH = 256
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.k - 1) // 2
-        if self.quant and self.deploy and self.bn:
+        if (self.quant and self.deploy and self.bn
+                and x.shape[-1] >= self.QUANT_MIN_CH
+                and self.out_ch >= self.QUANT_MIN_CH):
             kh = kw = self.k
             cin = x.shape[-1]
             kernel_q = self.param(
@@ -417,7 +453,9 @@ class RepConv(nn.Module):
     def __call__(self, x, train: bool = False):
         p = 1
         if self.deploy:
-            if self.quant:  # int8 MXU path, same scheme as ConvBlock
+            if (self.quant and x.shape[-1] >= ConvBlock.QUANT_MIN_CH
+                    and self.c2 >= ConvBlock.QUANT_MIN_CH):
+                # int8 MXU path, same scheme as ConvBlock
                 cin = x.shape[-1]
                 kernel_q = self.param(
                     "fused_q",

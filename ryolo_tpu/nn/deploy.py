@@ -142,6 +142,15 @@ def _merge_cv12(fused: dict, ver: str, folded=None) -> None:
             folded.add((part, name, "cv12"))
 
 
+QUANT_MIN_CH = 256  # must mirror blocks.ConvBlock.QUANT_MIN_CH
+
+
+def _quantizable(kernel) -> bool:
+    """int8 only where the MXU is the bottleneck (see ConvBlock)."""
+    return (kernel.shape[2] >= QUANT_MIN_CH
+            and kernel.shape[3] >= QUANT_MIN_CH)
+
+
 def _quantize_node(conv: Mapping) -> dict:
     """f32 {kernel, bias} -> int8 {kernel_q, wscale, bias} (per-O-channel
     symmetric; matches ConvBlock's quantized apply)."""
@@ -153,7 +162,7 @@ def _quantize_node(conv: Mapping) -> dict:
 
 
 def _quantize_fused(fused: dict, folded) -> None:
-    """Convert every BN-backed conv to the int8 layout (in place)."""
+    """Convert the wide BN-backed convs to the int8 layout (in place)."""
     for path in folded:
         node = fused
         if path and path[-1] == "repconv":
@@ -161,6 +170,8 @@ def _quantize_fused(fused: dict, folded) -> None:
                 node = node.get(p, {})
             rep = node.get(path[-2])
             if rep is None or "fused" not in rep:
+                continue
+            if not _quantizable(rep["fused"]["kernel"]):
                 continue
             q = _quantize_node(rep.pop("fused"))
             rep["fused_q"] = q["kernel_q"]
@@ -172,7 +183,37 @@ def _quantize_fused(fused: dict, folded) -> None:
         leaf = node.get(path[-1])
         if leaf is None or "conv" not in leaf:
             continue  # e.g. rewritten into the s2d stem
+        if not _quantizable(leaf["conv"]["kernel"]):
+            continue
         node[path[-1]] = _quantize_node(leaf.pop("conv"))
+
+
+def _s2d_scatter_packed(w: np.ndarray) -> np.ndarray:
+    """3x3 stride-1 conv kernel -> 3x3 kernel on the 2x2-packed input grid.
+
+    With input packed ``xp[P, Q, (u·2+v)·C + c] = x[2P+u, 2Q+v, c]``
+    (``blocks.pack_input_s2d``), the original ``out[2I+a, 2J+b, o] =
+    Σ W[di,dj,c,o]·x[2I+a+di-1, ...]`` becomes a 3×3 STRIDE-1 conv on the
+    packed grid producing output channel ``(a·2+b)·O + o`` (the same S2D
+    packing of the original output as the 4×4 form): tap
+    ``dp = ⌊(a+di-1)/2⌋ ∈ {-1,0,1}``, input phase ``u = (a+di-1) mod 2``.
+    K = 9·4·C reduction lanes (108 for C=3) instead of 48.
+    """
+    kh, kw, cin, cout = w.shape
+    K = np.zeros((3, 3, 4 * cin, 4 * cout), np.float64)
+    for a in range(2):
+        for di in range(kh):
+            t = a + di - 1
+            u, dp = t % 2, t // 2  # floor division: dp in {-1, 0, 1}
+            for b in range(2):
+                for dj in range(kw):
+                    s_ = b + dj - 1
+                    v, dq = s_ % 2, s_ // 2
+                    g_in = (u * 2 + v) * cin
+                    g_out = (a * 2 + b) * cout
+                    K[dp + 1, dq + 1, g_in:g_in + cin,
+                      g_out:g_out + cout] = w[di, dj]
+    return K
 
 
 def _s2d_scatter_s1(w: np.ndarray) -> np.ndarray:
@@ -224,7 +265,7 @@ def _s2d_scatter_s2(w: np.ndarray) -> np.ndarray:
     return K
 
 
-def _maybe_s2d_stem(fused_backbone: dict) -> None:
+def _maybe_s2d_stem(fused_backbone: dict, packed_input: bool = False) -> None:
     """Rewrite the detector stem on the 2x2 space-to-depth grid (in place).
 
     The 3-input-channel stride-1 conv at full image resolution runs at
@@ -244,7 +285,9 @@ def _maybe_s2d_stem(fused_backbone: dict) -> None:
             continue
         b1 = fused_backbone[n1]["conv"]["bias"]
         fused_backbone["s2d_stem"] = {
-            "conv0": {"kernel": np.float32(_s2d_scatter_s1(_np64(k0))),
+            "conv0": {"kernel": np.float32(
+                          _s2d_scatter_packed(_np64(k0)) if packed_input
+                          else _s2d_scatter_s1(_np64(k0))),
                       "bias": np.float32(np.tile(_np64(b0), 4))},
             "conv1": {"kernel": np.float32(_s2d_scatter_s2(_np64(k1))),
                       "bias": np.float32(b1)},
@@ -255,7 +298,8 @@ def _maybe_s2d_stem(fused_backbone: dict) -> None:
 
 
 def fuse_variables(variables: Mapping, ver: str | None = None,
-                   quantize: bool = False) -> dict:
+                   quantize: bool = False,
+                   packed_input: bool = False) -> dict:
     """Fuse a training-structure variable collection into deploy params.
 
     ``ver`` ("yolov4"/"yolov5"/"yolov7") additionally packs the parallel
@@ -276,7 +320,7 @@ def fuse_variables(variables: Mapping, ver: str | None = None,
                 neck[ia]["implicit"], neck[im]["implicit"],
             )
     if "backbone" in fused:
-        _maybe_s2d_stem(fused["backbone"])
+        _maybe_s2d_stem(fused["backbone"], packed_input=packed_input)
     if ver is None:
         ver = _infer_ver(params)
     _merge_cv12(fused, ver, folded)
@@ -296,7 +340,8 @@ def _infer_ver(params: Mapping) -> str:
 
 
 def fuse_for_inference(model, variables, dtype=None,
-                       quantize: bool = False) -> Tuple[Any, dict]:
+                       quantize: bool = False,
+                       packed_input: bool = False) -> Tuple[Any, dict]:
     """Return ``(deploy_model, deploy_variables)`` for an inference path.
 
     ``model`` is a training-structure :class:`ryolo_tpu.nn.Yolo`;
@@ -306,9 +351,13 @@ def fuse_for_inference(model, variables, dtype=None,
     MXU path (per-channel weights, dynamic per-tensor activation scales —
     2× the bf16 matmul rate; heads/stem/decode stay full precision).
     """
+    if packed_input and model.ver not in ("yolov7", "yolov4"):
+        raise ValueError("packed_input requires an S2D-stem architecture "
+                         "(yolov7/yolov4)")
     deploy_model = model.clone(
-        deploy=True, quant=quantize,
+        deploy=True, quant=quantize, packed_input=packed_input,
         dtype=dtype if dtype is not None else model.dtype,
     )
     return deploy_model, fuse_variables(variables, ver=model.ver,
-                                        quantize=quantize)
+                                        quantize=quantize,
+                                        packed_input=packed_input)

@@ -49,60 +49,87 @@ def _grid_xy(gh: int, gw: int, dtype) -> jax.Array:
 
 def decode_csl(outs: Sequence[jax.Array], anchors: Sequence[jax.Array],
                strides: Sequence[int], nc: int) -> jax.Array:
-    """Decode CSL raw heads ``(B, na, gs, gs, nc+185)`` -> ``(B, Σ, nc+6)``.
+    """Decode CSL heads from the RAW neck tensors -> ``(B, Σ, nc+6)``.
 
-    Output feature order ``[x, y, w, h, θ, conf, cls...]``
-    (``model/yololayer.py:51``); θ in radians ``[-π/2, π/2)``.
+    ``outs`` are the untransposed neck outputs ``(B, gs, gs, na*nf)``: all
+    decode math (sigmoids, the 180-bin argmax) runs in the conv-native
+    channel-minor layout — the minor-axis reduce fuses into the conv
+    epilogue instead of forcing layout copies of the transposed head maps
+    (profiled at ~1.5 ms/step @800px) — and only the small decoded
+    ``(…, nc+6)`` tensor is transposed to the reference's anchor-major
+    candidate order (``model/yololayer.py:51``; ordering must match for
+    NMS tie behavior).  Output rows ``[x, y, w, h, θ(rad), conf, cls...]``.
     """
     decoded = []
-    for out, anc, stride in zip(outs, anchors, strides):
-        b, na, gh, gw, nf = out.shape
-        # upcast only the 5+nc box/obj/cls channels (f32 sigmoid); the
-        # full-tensor f32 cast would materialize ~0.5 GB of head maps that
-        # the decode never reads at full precision
-        y = jax.nn.sigmoid(out[..., :5 + nc].astype(jnp.float32))
-        grid = _grid_xy(gh, gw, jnp.float32)  # (gh, gw, 2)
+    for x, anc, stride in zip(outs, anchors, strides):
+        b, gh, gw, _ = x.shape
         anc = jnp.asarray(anc, jnp.float32)  # (na, 2)
+        na = anc.shape[0]
+        nf = x.shape[-1] // na
+        grid = _grid_xy(gh, gw, jnp.float32)  # (gh, gw, 2)
 
-        pxy = (y[..., 0:2] * 2 - 0.5 + grid[None, None]) * stride
-        pwh = (y[..., 2:4] * 2) ** 2 * anc[None, :, None, None, :] * stride
-        pconf = y[..., 4:5]
-        pcls = y[..., 5:5 + nc]
-        # sigmoid is monotonic: argmax over the raw bin logits equals
-        # argmax over their sigmoids — skips 180/(nc+185) of the decode's
-        # transcendental work (the reference applies sigmoid to everything,
-        # model/yololayer.py:40,48); computed in the native dtype (the
-        # bf16->f32 cast is exact, so the argmax index is identical)
-        pa = out[..., 5 + nc:]
-        ptheta = jnp.argmax(pa, axis=-1, keepdims=True).astype(jnp.float32)
-        ptheta = (ptheta - 90.0) / 180.0 * jnp.pi
-
-        dec = jnp.concatenate([pxy, pwh, ptheta, pconf, pcls], axis=-1)
+        # Per-anchor channel SLICES keep every tensor 4-D in the conv's
+        # native tiled layout — the (…, na, nf) reshape has a 128-unaligned
+        # minor dim that forced slow re-tiled argmax reduces (profiled at
+        # ~1 ms/step on the 50² level alone).
+        per_anchor = []
+        for a in range(na):
+            xa = jax.lax.slice_in_dim(x, a * nf, a * nf + 5 + nc, axis=3)
+            # upcast only the 5+nc box/obj/cls channels (f32 sigmoid); a
+            # full-tensor f32 cast would materialize ~0.5 GB of head maps
+            y = jax.nn.sigmoid(xa.astype(jnp.float32))
+            pxy = (y[..., 0:2] * 2 - 0.5 + grid[None]) * stride
+            pwh = (y[..., 2:4] * 2) ** 2 * anc[a] * stride
+            pconf = y[..., 4:5]
+            pcls = y[..., 5:5 + nc]
+            # sigmoid is monotonic: argmax over the raw bin logits equals
+            # argmax over their sigmoids — skips 180/(nc+185) of the
+            # decode's transcendental work (the reference sigmoids
+            # everything, model/yololayer.py:40,48); bf16->f32 is exact so
+            # the argmax index is identical
+            pa = jax.lax.slice_in_dim(x, a * nf + 5 + nc, (a + 1) * nf,
+                                      axis=3)
+            ptheta = jnp.argmax(pa, axis=-1, keepdims=True).astype(
+                jnp.float32)
+            ptheta = (ptheta - 90.0) / 180.0 * jnp.pi
+            per_anchor.append(
+                jnp.concatenate([pxy, pwh, ptheta, pconf, pcls], axis=-1)
+            )
+        # (B, na, gh, gw, F) -> reference candidate order (B, na·gh·gw, F)
+        dec = jnp.stack(per_anchor, axis=1)
         decoded.append(dec.reshape(b, -1, nc + 6))
     return jnp.concatenate(decoded, axis=1)
 
 
 def decode_kfiou(outs: Sequence[jax.Array], anchors: Sequence[jax.Array],
                  strides: Sequence[int], nc: int) -> jax.Array:
-    """Decode KFIoU raw heads ``(B, na, gs, gs, nc+6)`` -> ``(B, Σ, nc+6)``.
+    """Decode KFIoU heads from the RAW neck tensors -> ``(B, Σ, nc+6)``.
 
-    θ regressed ±0.2618 rad (±15°) around the 6 rotated-anchor angles
+    Same conv-native-layout strategy as :func:`decode_csl`.  θ regressed
+    ±0.2618 rad (±15°) around the 6 rotated-anchor angles
     (``model/yololayer.py:96``; NOTE the intentional train/infer asymmetry —
     the loss decode uses ±0.55 + norm_angle, ``lib/loss.py:390``).
     """
     decoded = []
-    for out, anc, stride in zip(outs, anchors, strides):
-        b, na, gh, gw, nf = out.shape
-        y = jax.nn.sigmoid(out.astype(jnp.float32))
-        grid = _grid_xy(gh, gw, jnp.float32)
+    for x, anc, stride in zip(outs, anchors, strides):
+        b, gh, gw, _ = x.shape
         anc = jnp.asarray(anc, jnp.float32)  # (na, 3): w, h, angle(rad)
+        na = anc.shape[0]
+        nf = x.shape[-1] // na
+        grid = _grid_xy(gh, gw, jnp.float32)
 
-        pxy = (y[..., 0:2] * 2 - 0.5 + grid[None, None]) * stride
-        pwh = (y[..., 2:4] * 2) ** 2 * anc[None, :, None, None, :2] * stride
-        pa = (y[..., 4:5] - 0.5) * 0.5236 + anc[None, :, None, None, 2:3]
-        pconf = y[..., 5:6]
-        pcls = y[..., 6:]
-
-        dec = jnp.concatenate([pxy, pwh, pa, pconf, pcls], axis=-1)
+        per_anchor = []
+        for a in range(na):  # 4-D slices: see decode_csl
+            xa = jax.lax.slice_in_dim(x, a * nf, (a + 1) * nf, axis=3)
+            y = jax.nn.sigmoid(xa.astype(jnp.float32))
+            pxy = (y[..., 0:2] * 2 - 0.5 + grid[None]) * stride
+            pwh = (y[..., 2:4] * 2) ** 2 * anc[a, :2] * stride
+            pa = (y[..., 4:5] - 0.5) * 0.5236 + anc[a, 2]
+            pconf = y[..., 5:6]
+            pcls = y[..., 6:]
+            per_anchor.append(
+                jnp.concatenate([pxy, pwh, pa, pconf, pcls], axis=-1)
+            )
+        dec = jnp.stack(per_anchor, axis=1)
         decoded.append(dec.reshape(b, -1, nc + 6))
     return jnp.concatenate(decoded, axis=1)

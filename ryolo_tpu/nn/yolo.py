@@ -64,6 +64,9 @@ class Yolo(nn.Module):
     # int8 MXU path for the BN-backed convs (deploy graphs only); params
     # come from fuse_for_inference(quantize=True).
     quant: bool = False
+    # deploy-only: consume HOST-packed 2x2 space-to-depth input
+    # (B, S/2, S/2, 12) — see blocks.pack_input_s2d / S2DStem(packed=True)
+    packed_input: bool = False
 
     def setup(self):
         if self.mode not in ("csl", "kfiou"):
@@ -84,6 +87,7 @@ class Yolo(nn.Module):
         self.backbone = BACKBONES[self.ver](dtype=self.dtype,
                                             deploy=self.deploy,
                                             quant=self.quant,
+                                            packed_input=self.packed_input,
                                             name="backbone")
         self.neck = NECKS[self.ver](out_ch, dtype=self.dtype,
                                     deploy=self.deploy, quant=self.quant,
@@ -101,8 +105,13 @@ class Yolo(nn.Module):
         outs = tuple(o.astype(jnp.float32) for o in raw)
         if not decode:
             return outs
+        # decode reads the UNtransposed neck tensors (conv-native layout,
+        # heads.py); when the caller drops the raw outputs, jit then
+        # dead-code-eliminates the reshape_head transposes entirely
         if self.mode == "csl":
-            dec = decode_csl(raw, self.anchors, STRIDES, self.n_classes)
+            dec = decode_csl((x6, x5, x4), self.anchors, STRIDES,
+                             self.n_classes)
         else:
-            dec = decode_kfiou(raw, self.anchors, STRIDES, self.n_classes)
+            dec = decode_kfiou((x6, x5, x4), self.anchors, STRIDES,
+                               self.n_classes)
         return outs, dec

@@ -127,3 +127,30 @@ def test_fused_param_count_shrinks():
     n_dep = sum(np.asarray(l).size for l, in
                 zip(jax.tree_util.tree_leaves(dep_vars["params"]),))
     assert n_dep < n_ref
+
+
+def test_packed_input_deploy_exact():
+    """The packed-input stem (host 2x2 S2D layout + 3x3 conv0) must equal
+    the training graph exactly like the raw-input deploy path does."""
+    from ryolo_tpu.nn.blocks import pack_input_s2d
+
+    model = Yolo(n_classes=NC, model_config=MODEL_CFG, mode="csl",
+                 ver="yolov7")
+    x = np.random.default_rng(7).uniform(0, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    variables = _randomized_variables(model, jnp.asarray(x))
+
+    _, ref_dec = model.apply(variables, jnp.asarray(x), train=False,
+                             decode=True)
+    dep_model, dep_vars = fuse_for_inference(model, variables,
+                                             packed_input=True)
+    xp = jnp.asarray(pack_input_s2d(x))
+    assert xp.shape == (2, 32, 32, 12)
+    _, dec = dep_model.apply(dep_vars, xp, train=False, decode=True)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(ref_dec),
+                               rtol=1e-3, atol=2e-2)
+
+    with pytest.raises(ValueError):
+        fuse_for_inference(
+            Yolo(n_classes=NC, model_config=MODEL_CFG, mode="csl",
+                 ver="yolov5"), variables, packed_input=True)

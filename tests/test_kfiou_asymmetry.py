@@ -18,7 +18,9 @@ def test_inference_decode_width_is_0_5236():
     out = np.zeros((1, na, gs, gs, nc + 6), np.float32)
     out[..., 4] = 20.0  # σ -> 1
     anc = [np.array([[2.0, 2.0, 0.3]], np.float32)]
-    dec = np.asarray(decode_kfiou([jnp.asarray(out)], anc, [8], nc))
+    # decode consumes the RAW neck layout (B, gs, gs, na*nf)
+    raw = out.transpose(0, 2, 3, 1, 4).reshape(1, gs, gs, -1)
+    dec = np.asarray(decode_kfiou([jnp.asarray(raw)], anc, [8], nc))
     # θ = (1 - 0.5) * 0.5236 + 0.3
     assert abs(dec[0, 0, 4] - (0.5 * 0.5236 + 0.3)) < 1e-4
 

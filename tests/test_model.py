@@ -62,7 +62,9 @@ def test_decode_matches_reference_formulas():
     out[0, 0, 1, 2, 2:4] = 0.0
     out[0, 0, 1, 2, 5 + nc + 100] = 10.0
     anc = [np.array([[2.0, 3.0]] * na, np.float32)]
-    dec = np.asarray(decode_csl([jnp.asarray(out)], anc, [stride], nc))
+    # decode consumes the RAW neck layout (B, gs, gs, na*nf), anchor-major
+    raw = out.transpose(0, 2, 3, 1, 4).reshape(1, gs, gs, -1)
+    dec = np.asarray(decode_csl([jnp.asarray(raw)], anc, [stride], nc))
     row = dec[0, 0 * gs * gs + 1 * gs + 2]
     # pxy = (2*0.5 - 0.5 + grid) * stride, grid=(2,1)
     np.testing.assert_allclose(row[0:2], [(0.5 + 2) * 8, (0.5 + 1) * 8], atol=1e-4)
