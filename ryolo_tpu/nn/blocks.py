@@ -207,7 +207,7 @@ class ConvBlock(nn.Module):
 
 def parallel_cv12(x, h1: int, h2: int, act: str, train: bool, deploy: bool,
                   dtype, quant: bool = False, name1: str = "cv1",
-                  name2: str = "cv2"):
+                  name2: str = "cv2", swap: bool = False):
     """Two parallel same-input 1×1 convs, packed into ONE at deploy time.
 
     Several blocks (ELAN1/ELAN2 ``model/utils.py:98-143``, CSP ``:49-64``,
@@ -217,10 +217,19 @@ def parallel_cv12(x, h1: int, h2: int, act: str, train: bool, deploy: bool,
     kernels (exact — conv is linear in the output-channel axis), so the
     input is read once and a 64-lane pair fills all 128 MXU lanes.
     Params are produced by :func:`ryolo_tpu.nn.deploy.fuse_variables`.
+
+    ``swap`` puts the SECOND output first in the merged kernel: the
+    output that feeds a conv chain must be the lane-ALIGNED prefix slice
+    (a 64-offset suffix slice fed ELAN's cv3 chain at 38 TF/s vs 56 for
+    the aligned case, profiled r3); the other output only feeds a concat,
+    where misalignment is absorbed by the copy anyway.  Must match
+    ``deploy._CV12_MERGE_PATHS``'s per-block order.
     """
     if deploy:
         y = ConvBlock(h1 + h2, 1, 1, act, dtype=dtype, deploy=True,
                       quant=quant, name=f"{name1}{name2[-1]}")(x, train)
+        if swap:  # kernel order [cv2 | cv1]
+            return y[..., h2:], y[..., :h2]
         return y[..., :h1], y[..., h1:]
     a = ConvBlock(h1, 1, 1, act, dtype=dtype, name=name1)(x, train)
     b = ConvBlock(h2, 1, 1, act, dtype=dtype, name=name2)(x, train)
@@ -343,7 +352,7 @@ class ELAN1(nn.Module):
         h2 = int(self.c1 * self.e2)
         kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x1, x2 = parallel_cv12(x, h1, h1, "swish", train, self.deploy,
-                               self.dtype, self.quant)
+                               self.dtype, self.quant, swap=True)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
         x4 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x3, train)
@@ -369,7 +378,7 @@ class ELAN2(nn.Module):
         h2 = int(self.c1 * self.e2)
         kw = dict(dtype=self.dtype, deploy=self.deploy, quant=self.quant)
         x1, x2 = parallel_cv12(x, h1, h1, "swish", train, self.deploy,
-                               self.dtype, self.quant)
+                               self.dtype, self.quant, swap=True)
         x3 = ConvBlock(h2, 3, 1, "swish", name="cv3", **kw)(x2, train)
         x4 = ConvBlock(h2, 3, 1, "swish", name="cv4", **kw)(x3, train)
         x5 = ConvBlock(h2, 3, 1, "swish", name="cv5", **kw)(x4, train)

@@ -115,23 +115,28 @@ _V7_HEADS = (("ia1", "conv5", "im1"), ("ia2", "conv6", "im2"),
 # kernels.  Listed explicitly per architecture because the pattern is
 # structural, not inferable from param shapes alone (MaxConv's cv1/cv2
 # have identical shapes but consume DIFFERENT inputs and must not merge).
+# entry = (part, name, swap): swap=True stores [cv2 | cv1] so the conv
+# CHAIN consumer (ELAN's cv2 output) is the lane-aligned prefix slice —
+# must mirror the ``swap`` argument at blocks.parallel_cv12 call sites
 _CV12_MERGE_PATHS = {
-    "yolov4": [("backbone", f"csp{i}") for i in range(1, 6)],
-    "yolov5": [("backbone", f"csp{i}") for i in range(1, 5)]
-    + [("neck", f"csp{i}") for i in range(1, 5)],
-    "yolov7": [("backbone", f"elan{i}") for i in range(1, 5)]
-    + [("backbone", "spp")]
-    + [("neck", f"elan{i}") for i in range(1, 5)],
+    "yolov4": [("backbone", f"csp{i}", False) for i in range(1, 6)],
+    "yolov5": [("backbone", f"csp{i}", False) for i in range(1, 5)]
+    + [("neck", f"csp{i}", False) for i in range(1, 5)],
+    "yolov7": [("backbone", f"elan{i}", True) for i in range(1, 5)]
+    + [("backbone", "spp", False)]
+    + [("neck", f"elan{i}", True) for i in range(1, 5)],
 }
 
 
 def _merge_cv12(fused: dict, ver: str, folded=None) -> None:
     """Pack parallel cv1/cv2 pairs into one conv (in place, exact)."""
-    for part, name in _CV12_MERGE_PATHS.get(ver, ()):
+    for part, name, swap in _CV12_MERGE_PATHS.get(ver, ()):
         node = fused.get(part, {}).get(name)
         if node is None or "cv1" not in node or "cv2" not in node:
             continue
         c1, c2 = node.pop("cv1")["conv"], node.pop("cv2")["conv"]
+        if swap:
+            c1, c2 = c2, c1
         node["cv12"] = {"conv": {
             "kernel": np.concatenate([c1["kernel"], c2["kernel"]], axis=-1),
             "bias": np.concatenate([c1["bias"], c2["bias"]], axis=-1),
