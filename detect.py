@@ -67,14 +67,29 @@ class Detect:
             model, variables, dtype=dep_dtype,
             quantize=args.dtype == "int8", packed_input=packed)
 
-        @jax.jit
-        def infer(variables, images):
-            _, decoded = model.apply(variables, images, train=False,
-                                     decode=True)
-            dets, valid = post_process_fixed(
-                decoded, float(args.conf_thres), float(args.nms_thres)
-            )
-            return decoded, dets, valid
+        if args.mode == "csl":
+            # deferred theta: full-width 180-bin argmax costs ~4.5 ms/step
+            # @800px; resolve theta for the top-k candidates only
+            from ryolo_tpu.eval.postprocess import post_process_defer
+
+            @jax.jit
+            def infer(variables, images):
+                _, (dec, neck) = model.apply(variables, images, train=False,
+                                             decode="defer")
+                dets, valid = post_process_defer(
+                    dec, neck, 3, nc, float(args.conf_thres),
+                    float(args.nms_thres)
+                )
+                return dec, dets, valid
+        else:
+            @jax.jit
+            def infer(variables, images):
+                _, decoded = model.apply(variables, images, train=False,
+                                         decode=True)
+                dets, valid = post_process_fixed(
+                    decoded, float(args.conf_thres), float(args.nms_thres)
+                )
+                return decoded, dets, valid
 
         save_folder = os.path.join("outputs", "inference")
         os.makedirs(save_folder, exist_ok=True)

@@ -61,18 +61,36 @@ def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
         _STEP_CACHE.move_to_end(key)
         return hit[2]
 
-    @jax.jit
-    def step(variables, arrays):
-        outputs, decoded = model.apply(variables, arrays["images"],
-                                       train=False, decode=True)
-        dets, valid = post_process_fixed(
-            decoded, float(conf_thres), float(iou_thres),
-            max_nms=max_nms, max_det=max_det,
-        )
-        items = {}
-        if loss_fn is not None:
-            _, items = loss_fn(outputs, arrays)
-        return dets, valid, items
+    if model.mode == "csl":
+        # deferred theta (see postprocess.deferred_theta): resolves the
+        # 180-bin argmax only for the top-max_nms selected candidates
+        from ryolo_tpu.eval.postprocess import post_process_defer
+
+        @jax.jit
+        def step(variables, arrays):
+            outputs, (dec, neck) = model.apply(
+                variables, arrays["images"], train=False, decode="defer")
+            dets, valid = post_process_defer(
+                dec, neck, 3, model.n_classes, float(conf_thres),
+                float(iou_thres), max_nms=max_nms, max_det=max_det,
+            )
+            items = {}
+            if loss_fn is not None:
+                _, items = loss_fn(outputs, arrays)
+            return dets, valid, items
+    else:
+        @jax.jit
+        def step(variables, arrays):
+            outputs, decoded = model.apply(variables, arrays["images"],
+                                           train=False, decode=True)
+            dets, valid = post_process_fixed(
+                decoded, float(conf_thres), float(iou_thres),
+                max_nms=max_nms, max_det=max_det,
+            )
+            items = {}
+            if loss_fn is not None:
+                _, items = loss_fn(outputs, arrays)
+            return dets, valid, items
 
     _STEP_CACHE[key] = (model, loss_fn, step)
     while len(_STEP_CACHE) > _STEP_CACHE_MAX:

@@ -40,7 +40,7 @@ SMALL_K = 512
 
 
 def _select_nms_compact(payload, sel, k: int, iou_thres, max_det: int,
-                        use_topk: bool):
+                        use_topk: bool, theta_fn=None):
     """Top-k select + rotated NMS + compaction at static width ``k``.
 
     Candidate selection: near N ≈ k a single variadic stable sort carrying
@@ -51,11 +51,13 @@ def _select_nms_compact(payload, sel, k: int, iou_thres, max_det: int,
     than sorting the full width with 7 payloads.  Both orderings are
     identical: descending score, ties by candidate index.
     """
-    if use_topk:
+    if use_topk or theta_fn is not None:
         top_scores, idx = jax.lax.top_k(sel, k)  # (B, k) desc, ties by idx
         bx, by, bw, bh, bt, tcls = (
             jnp.take_along_axis(o, idx, axis=1) for o in payload
         )
+        if theta_fn is not None:  # deferred theta: resolve for top-k only
+            bt = theta_fn(idx)
     else:
         sorted_all = jax.lax.sort([-sel] + payload, dimension=-1, num_keys=1,
                                   is_stable=True)
@@ -114,7 +116,6 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
       valid: ``(B, max_det)`` bool.
     """
     B, N, _ = predictions.shape
-    k = min(max_nms, N)
 
     obj = predictions[..., 5]
     cls_scores = predictions[..., 6:] * obj[..., None]
@@ -123,12 +124,78 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
     sel = jnp.where(conf > conf_thres, conf, -1.0)
 
     payload = [predictions[..., i] for i in range(5)] + [cls_id]
+    return _pp_tail(payload, sel, N, iou_thres, max_nms, max_det, use_topk)
+
+
+def deferred_theta(neck_outs, idx, na: int, nc: int):
+    """Resolve CSL theta for the selected candidates only.
+
+    ``neck_outs``: raw per-level head maps ``(B, gh, gw, na·nf)``;
+    ``idx``: ``(B, k)`` global candidate indices (anchor-major, row-major
+    spatial, levels concatenated — the :func:`decode_csl` order).  Gathers
+    each candidate's 180-bin block and argmaxes it — bit-identical bins to
+    the full-width argmax (same logits, same first-tie reduce), at ~k/N of
+    the traffic (profiled: full-width costs 4.5 ms/step @800px, this runs
+    in ~0.1 ms at k=512).
+    """
+    b, k = idx.shape
+    theta_bin = jnp.zeros((b, k), jnp.int32)
+    off = 0
+    for x in neck_outs:
+        _, gh, gw, C = x.shape
+        nf = C // na
+        hw = gh * gw
+        local = idx - off
+        in_lvl = (local >= 0) & (local < na * hw)
+        anchor = jnp.clip(local // hw, 0, na - 1)
+        pos = jnp.clip(local - anchor * hw, 0, hw - 1)
+        rows = jnp.take_along_axis(x.reshape(b, hw, C), pos[..., None],
+                                   axis=1)  # (B, k, C)
+        th = jnp.zeros((b, k), jnp.int32)
+        for a in range(na):
+            bins = jax.lax.slice_in_dim(rows, a * nf + 5 + nc,
+                                        (a + 1) * nf, axis=2)
+            th_a = jnp.argmax(bins, axis=-1).astype(jnp.int32)
+            th = jnp.where(anchor == a, th_a, th)
+        theta_bin = jnp.where(in_lvl, th, theta_bin)
+        off += na * hw
+    return (theta_bin.astype(jnp.float32) - 90.0) / 180.0 * jnp.pi
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("na", "nc", "max_nms", "max_det"))
+def post_process_defer(predictions, neck_outs, na: int, nc: int,
+                       conf_thres: float, iou_thres: float,
+                       max_nms: int = MAX_NMS, max_det: int = MAX_DET):
+    """Post-process with deferred theta (``Yolo(..., decode="defer")``).
+
+    ``predictions``: rows from :func:`decode_csl_defer` (theta column 0);
+    ``neck_outs``: the raw head maps.  Theta is gathered+argmaxed only for
+    the top-k selected candidates — results identical to
+    :func:`post_process_fixed` on the full decode.
+    """
+    theta_fn = lambda idx: deferred_theta(neck_outs, idx, na, nc)  # noqa: E731
+
+    B, N, _ = predictions.shape
+    obj = predictions[..., 5]
+    cls_scores = predictions[..., 6:] * obj[..., None]
+    conf = jnp.max(cls_scores, axis=-1)
+    cls_id = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
+    sel = jnp.where(conf > conf_thres, conf, -1.0)
+    payload = [predictions[..., i] for i in range(5)] + [cls_id]
+    return _pp_tail(payload, sel, N, iou_thres, max_nms, max_det, None,
+                    theta_fn=theta_fn)
+
+
+def _pp_tail(payload, sel, N: int, iou_thres, max_nms: int, max_det: int,
+             use_topk, theta_fn=None):
+    k = min(max_nms, N)
     if use_topk is None:
         use_topk = N > 2 * k
 
     if k <= SMALL_K:
         return _select_nms_compact(payload, sel, k, iou_thres, max_det,
-                                   use_topk)
+                                   use_topk, theta_fn)
     # Count-conditioned fast path: when no image exceeds SMALL_K
     # above-threshold candidates, the top-SMALL_K already contains every
     # candidate NMS can see — identical result at a fraction of the
@@ -137,9 +204,9 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
     return jax.lax.cond(
         n_max <= SMALL_K,
         lambda: _select_nms_compact(payload, sel, SMALL_K, iou_thres,
-                                    max_det, True),
+                                    max_det, True, theta_fn),
         lambda: _select_nms_compact(payload, sel, k, iou_thres, max_det,
-                                    use_topk),
+                                    use_topk, theta_fn),
     )
 
 

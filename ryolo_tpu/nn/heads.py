@@ -101,6 +101,44 @@ def decode_csl(outs: Sequence[jax.Array], anchors: Sequence[jax.Array],
     return jnp.concatenate(decoded, axis=1)
 
 
+def decode_csl_defer(outs: Sequence[jax.Array],
+                     anchors: Sequence[jax.Array],
+                     strides: Sequence[int],
+                     nc: int) -> jax.Array:
+    """CSL decode WITHOUT the 180-bin theta argmax (theta column = 0).
+
+    The full-width theta argmax reads every head map's 180-bin block and
+    was profiled at 4.5 ms/step @800px (the channel-slice variadic reduce
+    lowers poorly in the head cluster's layout).  A trained detector keeps
+    tens of candidates above the detect confidence, so theta is instead
+    resolved AFTER top-k selection by
+    :func:`ryolo_tpu.eval.postprocess.deferred_theta` — a (B, k) row
+    gather + narrow argmax over the same logits, bit-identical bins.
+    Candidate order and all other columns match :func:`decode_csl`.
+    """
+    decoded = []
+    for x, anc, stride in zip(outs, anchors, strides):
+        b, gh, gw, _ = x.shape
+        anc = jnp.asarray(anc, jnp.float32)
+        na = anc.shape[0]
+        nf = x.shape[-1] // na
+        grid = _grid_xy(gh, gw, jnp.float32)
+        per_anchor = []
+        for a in range(na):  # never touches the theta channels
+            xa = jax.lax.slice_in_dim(x, a * nf, a * nf + 5 + nc, axis=3)
+            y = jax.nn.sigmoid(xa.astype(jnp.float32))
+            pxy = (y[..., 0:2] * 2 - 0.5 + grid[None]) * stride
+            pwh = (y[..., 2:4] * 2) ** 2 * anc[a] * stride
+            ptheta = jnp.zeros_like(y[..., 4:5])
+            per_anchor.append(
+                jnp.concatenate([pxy, pwh, ptheta, y[..., 4:5],
+                                 y[..., 5:5 + nc]], axis=-1)
+            )
+        dec = jnp.stack(per_anchor, axis=1)
+        decoded.append(dec.reshape(b, -1, nc + 6))
+    return jnp.concatenate(decoded, axis=1)
+
+
 def decode_kfiou(outs: Sequence[jax.Array], anchors: Sequence[jax.Array],
                  strides: Sequence[int], nc: int) -> jax.Array:
     """Decode KFIoU heads from the RAW neck tensors -> ``(B, Σ, nc+6)``.

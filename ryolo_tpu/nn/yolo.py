@@ -15,7 +15,8 @@ import numpy as np
 from flax import linen as nn
 
 from ryolo_tpu.nn.backbones import BACKBONES
-from ryolo_tpu.nn.heads import decode_csl, decode_kfiou, reshape_head
+from ryolo_tpu.nn.heads import (decode_csl, decode_csl_defer,
+                                decode_kfiou, reshape_head)
 from ryolo_tpu.nn.necks import NECKS
 
 STRIDES = (8, 16, 32)  # fixed, model/yolo.py:21
@@ -93,7 +94,15 @@ class Yolo(nn.Module):
                                     deploy=self.deploy, quant=self.quant,
                                     name="neck")
 
-    def __call__(self, images, train: bool = False, decode: bool = False):
+    def __call__(self, images, train: bool = False,
+                 decode: bool | str = False):
+        """``decode``: False = raw heads only; True = additionally return
+        row-tensor predictions ``(B, N, nc+6)`` (reference contract);
+        ``"defer"`` (CSL only) = additionally return ``(rows_no_theta,
+        neck_outs)`` for :func:`ryolo_tpu.eval.postprocess.
+        post_process_defer`, which resolves theta after top-k selection
+        (the full-width 180-bin argmax costs ~4.5 ms/step @800px).
+        """
         d3, d4, d5 = self.backbone(images, train)
         x6, x5, x4 = self.neck(d5, d4, d3, train)
         # transpose in the compute dtype (half the HBM traffic in bf16),
@@ -108,10 +117,13 @@ class Yolo(nn.Module):
         # decode reads the UNtransposed neck tensors (conv-native layout,
         # heads.py); when the caller drops the raw outputs, jit then
         # dead-code-eliminates the reshape_head transposes entirely
-        if self.mode == "csl":
-            dec = decode_csl((x6, x5, x4), self.anchors, STRIDES,
-                             self.n_classes)
-        else:
-            dec = decode_kfiou((x6, x5, x4), self.anchors, STRIDES,
-                               self.n_classes)
+        if decode == "defer":
+            if self.mode != "csl":
+                raise ValueError("decode='defer' is CSL-only (KFIoU theta "
+                                 "is a plain sigmoid channel)")
+            dec = decode_csl_defer((x6, x5, x4), self.anchors, STRIDES,
+                                   self.n_classes)
+            return outs, (dec, (x6, x5, x4))
+        fn = decode_csl if self.mode == "csl" else decode_kfiou
+        dec = fn((x6, x5, x4), self.anchors, STRIDES, self.n_classes)
         return outs, dec

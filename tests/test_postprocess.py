@@ -162,3 +162,51 @@ def test_topk_and_sort_selection_identical():
                                 use_topk=True, **kw)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_deferred_theta_matches_full_decode():
+    """decode='defer' + post_process_defer == decode=True + post_process_fixed.
+
+    The deferred path resolves the CSL 180-bin theta argmax only for the
+    top-k selected candidates (postprocess.deferred_theta); detections must
+    be identical to the full-width decode at every confidence load,
+    including the >SMALL_K count-conditioned branch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ryolo_tpu.eval.postprocess import (post_process_defer,
+                                            post_process_fixed)
+    from ryolo_tpu.nn import Yolo
+
+    cfg = {"anchors": [[12, 16, 19, 36, 40, 28],
+                       [36, 75, 76, 55, 72, 146],
+                       [142, 110, 192, 243, 459, 401]],
+           "angles": [-90, -60, -30, 0, 30, 60]}
+    nc = 3
+    model = Yolo(n_classes=nc, model_config=cfg, mode="csl", ver="yolov5")
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 64, 64, 3)), train=False)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+
+    _, dec = model.apply(variables, images, train=False, decode=True)
+    _, (dec_nt, neck) = model.apply(variables, images, train=False,
+                                    decode="defer")
+    # the no-theta rows must agree everywhere except the theta column
+    np.testing.assert_array_equal(np.asarray(dec_nt[..., :4]),
+                                  np.asarray(dec[..., :4]))
+    np.testing.assert_array_equal(np.asarray(dec_nt[..., 5:]),
+                                  np.asarray(dec[..., 5:]))
+    assert np.all(np.asarray(dec_nt[..., 4]) == 0.0)
+
+    for conf in (0.2, 0.26):  # random init: scores ~0.25 -> wide and narrow
+        d1, v1 = post_process_fixed(dec, conf, 0.4)
+        d2, v2 = post_process_defer(dec_nt, neck, 3, nc, conf, 0.4)
+        assert np.asarray(v1).sum() == np.asarray(v2).sum()
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        d1, d2 = np.asarray(d1), np.asarray(d2)
+        # theta: same bin, but XLA fuses (bin-90)/180*pi differently in
+        # the two graphs -> 1-ulp slack; everything else must be exact
+        np.testing.assert_array_equal(d1[..., [0, 1, 2, 3, 5, 6]],
+                                      d2[..., [0, 1, 2, 3, 5, 6]])
+        np.testing.assert_allclose(d1[..., 4], d2[..., 4], atol=1e-6)
