@@ -149,8 +149,11 @@ def deferred_theta(neck_outs, idx, na: int, nc: int):
         in_lvl = (local >= 0) & (local < na * hw)
         anchor = jnp.clip(local // hw, 0, na - 1)
         pos = jnp.clip(local - anchor * hw, 0, hw - 1)
-        rows = jnp.take_along_axis(x.reshape(b, hw, C), pos[..., None],
-                                   axis=1)  # (B, k, C)
+        # direct 4-D gather: a (b, hw, C) reshape of the head map is a real
+        # relayout copy in the conv layout (h and w are not adjacent there;
+        # profiled ~0.9 ms/step over the three levels)
+        r, c = pos // gw, pos % gw
+        rows = jax.vmap(lambda xb, rb, cb: xb[rb, cb, :])(x, r, c)  # (B,k,C)
         th = jnp.zeros((b, k), jnp.int32)
         for a in range(na):
             bins = jax.lax.slice_in_dim(rows, a * nf + 5 + nc,

@@ -99,7 +99,8 @@ class Backbonev7(nn.Module):
             x = ConvBlock(32, 3, 1, "swish", dtype=d, name="cbs0")(x, train)
             x = ConvBlock(64, 3, 2, "swish", dtype=d, name="cbs1")(x, train)
         x = ConvBlock(64, 3, 1, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs2")(x, train)
-        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs3")(x, train)
+        from ryolo_tpu.nn.blocks import _chain_barrier
+        x = ConvBlock(128, 3, 2, "swish", dtype=d, deploy=self.deploy, quant=self.quant, name="cbs3")(_chain_barrier(x, self.deploy), train)
         x = ELAN1(128, 256, dtype=d, deploy=self.deploy, quant=self.quant, name="elan1")(x, train)
         x = MaxConv(256, dtype=d, deploy=self.deploy, quant=self.quant, name="mc1")(x, train)
         d3 = ELAN1(256, 512, dtype=d, deploy=self.deploy, quant=self.quant, name="elan2")(x, train)
