@@ -420,7 +420,8 @@ class MaxConv(nn.Module):
         x1 = nn.max_pool(x, (2, 2), strides=(2, 2))
         x1 = ConvBlock(c_, 1, 1, "swish", name="cv1", **kw)(x1, train)
         x2 = ConvBlock(c_, 1, 1, "swish", name="cv2", **kw)(x, train)
-        x2 = ConvBlock(c_, 3, 2, "swish", name="cv3", **kw)(x2, train)
+        x2 = ConvBlock(c_, 3, 2, "swish", name="cv3", **kw)(
+            _chain_barrier(x2, self.deploy), train)
         return jnp.concatenate([x1, x2], axis=-1)
 
 

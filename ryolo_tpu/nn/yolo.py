@@ -121,9 +121,14 @@ class Yolo(nn.Module):
             if self.mode != "csl":
                 raise ValueError("decode='defer' is CSL-only (KFIoU theta "
                                  "is a plain sigmoid channel)")
-            dec = decode_csl_defer((x6, x5, x4), self.anchors, STRIDES,
+            # one pinned copy of each head map, shared by the box decode
+            # and the deferred-theta gather: without the barrier the decode
+            # cluster relays the conv output {2,0,3,1} and the gather
+            # copies it BACK to the conv layout (~1 ms/step of churn)
+            heads_pinned = jax.lax.optimization_barrier((x6, x5, x4))
+            dec = decode_csl_defer(heads_pinned, self.anchors, STRIDES,
                                    self.n_classes)
-            return outs, (dec, (x6, x5, x4))
+            return outs, (dec, heads_pinned)
         fn = decode_csl if self.mode == "csl" else decode_kfiou
         dec = fn((x6, x5, x4), self.anchors, STRIDES, self.n_classes)
         return outs, dec

@@ -34,15 +34,17 @@ def main():
         def step(images):
             _, dec = model.apply(variables, images, train=False, decode=True)
             return post_process_fixed(dec, 0.7, 0.2)
-    else:
-        def step(images):
-            _, (dec, neck) = model.apply(variables, images, train=False,
-                                         decode="defer")
-            return post_process_defer(dec, neck, 3, bench.NC, 0.7, 0.2)
 
-    batches = bench.rand_batches(4, 8, 800, packed=True)
-    fn = jax.jit(step)
-    hlo = fn.lower(*batches[0]).compile().as_text()
+        fn = jax.jit(step)
+        batches = bench.rand_batches(4, 8, 800, packed=True)
+        hlo = fn.lower(*batches[0]).compile().as_text()
+    else:  # the bench configuration: defer decode + AUTO input layout
+        fn = bench.detect_fn(model, variables, 0.7, 0.2,
+                             input_shape=(8, 400, 400, 12))
+        batches = bench.rand_batches(4, 8, 800, packed=True,
+                                     fmt=fn.input_format,
+                                     dtype=fn.input_dtype)
+        hlo = fn.as_text()
     open(f"/tmp/{args.variant}_hlo.txt", "w").write(hlo)
     jax.block_until_ready(fn(*batches[0]))
     td = tempfile.mkdtemp(prefix=f"prof_{args.variant}_")
