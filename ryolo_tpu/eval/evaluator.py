@@ -128,19 +128,27 @@ def evaluate(
     max_det: int = 1500,
     progress: bool = True,
     mesh=None,
+    batches=None,
 ) -> Tuple[float, float, float, float, Dict[str, float]]:
     """Run the full mAP protocol on ``data['val']``.
 
     With ``mesh`` given, the per-batch device program shards over the
     mesh's ``dp`` axis (params replicated); ``batch_size`` must divide by
-    the dp size.  Returns ``(mp, mr, map50, map50_95, avg_loss_items)``
-    like ``test.py:222``.
+    the dp size.  With ``batches`` given (a list of the loader's batch
+    dicts), the image loading/letterbox stage is skipped and the given
+    arrays are evaluated directly — the in-memory protocol path (used by
+    bench.py to separate device+matcher throughput from the one-core
+    host's cv2 decode).  Returns ``(mp, mr, map50, map50_95,
+    avg_loss_items)`` like ``test.py:222``.
     """
-    _, loader = load_data(
-        data["val"], data["names"], data["type"], hyp, csl,
-        img_size=img_size, batch_size=batch_size, augment=False,
-        shuffle=False, max_targets=max_targets,
-    )
+    if batches is None:
+        _, loader = load_data(
+            data["val"], data["names"], data["type"], hyp, csl,
+            img_size=img_size, batch_size=batch_size, augment=False,
+            shuffle=False, max_targets=max_targets,
+        )
+    else:
+        loader = batches
 
     logger.info("Compute mAP...")
 
