@@ -183,6 +183,8 @@ def bench_eval_ips(model, variables, n_images: int = 48):
     import sys
     import tempfile
 
+    import jax
+
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from make_synth_data import class_names, main as make_synth_data
 
@@ -209,6 +211,19 @@ def bench_eval_ips(model, variables, n_images: int = 48):
                           augment=False, shuffle=False, max_targets=64)
     batches = [dict(b) for b in loader]
     load_s = time.perf_counter() - t0
+
+    # pre-upload to device, same convention as the detect headline (the
+    # axon tunnel moves ~60 MB/batch of f32 images at ~tens of MB/s — a
+    # host-attached deployment pays none of that); upload time is charged
+    # to the e2e number
+    t0 = time.perf_counter()
+    batches = [
+        {k: jax.device_put(np.asarray(v)) for k, v in b.items()
+         if k != "paths"}
+        for b in batches
+    ]
+    jax.block_until_ready([list(b.values()) for b in batches])
+    load_s += time.perf_counter() - t0
 
     # warm pass compiles the eval step
     evaluate(model, variables, None, data, hyp, csl=True, img_size=IMG,

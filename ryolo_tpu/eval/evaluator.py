@@ -100,13 +100,15 @@ def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
 
 def _pad_batch(arrays: Dict[str, np.ndarray], full: int):
     """Zero-pad a short final batch to the full batch size (static shapes;
-    padded rows have all-False target masks and contribute no stats)."""
+    padded rows have all-False target masks and contribute no stats).
+    Works on host numpy and device-resident jax arrays alike."""
     short = arrays["images"].shape[0]
     if short == full:
         return arrays
+    xp = jnp if isinstance(arrays["images"], jax.Array) else np
     return {
-        k: np.concatenate(
-            [v, np.zeros((full - short,) + v.shape[1:], v.dtype)], 0
+        k: xp.concatenate(
+            [v, xp.zeros((full - short,) + v.shape[1:], v.dtype)], 0
         )
         for k, v in arrays.items()
     }
@@ -220,11 +222,20 @@ def evaluate(
             seen += real_b
             n_batches += 1
 
-            arrays = {k: np.asarray(v) for k, v in batch.items()
-                      if k != "paths"}
-            arrays = _pad_batch(arrays, batch_size)
-            tgt_host = arrays["tgt"][:real_b]
-            mask_host = arrays["tgt_mask"][:real_b]
+            if isinstance(batch["images"], jax.Array):
+                # device-resident batch (bench pre-uploads: on tunnel-
+                # attached hosts the ~60 MB/batch f32 image upload otherwise
+                # dominates the measured step)
+                arrays = {k: v for k, v in batch.items() if k != "paths"}
+                arrays = _pad_batch(arrays, batch_size)
+                tgt_host = np.asarray(arrays["tgt"][:real_b])
+                mask_host = np.asarray(arrays["tgt_mask"][:real_b])
+            else:
+                arrays = {k: np.asarray(v) for k, v in batch.items()
+                          if k != "paths"}
+                arrays = _pad_batch(arrays, batch_size)
+                tgt_host = arrays["tgt"][:real_b]
+                mask_host = arrays["tgt_mask"][:real_b]
             if mesh is not None:
                 arrays = {
                     k: jax.device_put(

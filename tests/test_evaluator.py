@@ -99,6 +99,42 @@ def test_shard_warns_on_eval_double_count(tmp_path):
     assert not any("DOUBLE-COUNTED" in str(x.message) for x in w)
 
 
+def test_evaluate_device_batches_match_loader(tmp_path):
+    """evaluate(batches=<device-resident arrays>) must reproduce the loader
+    path exactly (bench pre-uploads batches so the tunnel upload is not
+    measured as device time)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_synth_data import main
+
+    from ryolo_tpu.data.loader import load_data
+
+    root = str(tmp_path / "synth")
+    main(root, n_images=4, img_size=96, seed=5)
+
+    model = Yolo(n_classes=2, model_config=CFG, mode="csl", ver="yolov5")
+    variables = dict(
+        model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    )
+    data = {"val": f"{root}/val", "names": ["a", "b"], "type": "custom"}
+    kw = dict(csl=True, img_size=96, batch_size=2, conf_thres=0.001,
+              iou_thres=0.65, max_targets=32, progress=False)
+
+    ref = evaluate(model, variables, None, data, HYP, **kw)
+
+    _, loader = load_data(data["val"], data["names"], "custom", HYP,
+                          csl=True, img_size=96, batch_size=2,
+                          augment=False, shuffle=False, max_targets=32)
+    dev_batches = [
+        {k: jax.device_put(np.asarray(v)) for k, v in dict(b).items()
+         if k != "paths"}
+        for b in loader
+    ]
+    got = evaluate(model, variables, None, data, HYP, **kw,
+                   batches=dev_batches)
+    np.testing.assert_allclose(got[:4], ref[:4], rtol=0, atol=1e-7)
+
+
 def test_evaluate_end_to_end(tmp_path):
     sys.path.insert(0, os.path.dirname(__file__))
     from make_synth_data import main
