@@ -186,7 +186,13 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     n_chunks = (n_valid + (c - 1)) // c
 
     def cond(carry):
-        return carry[0] < n_chunks
+        # Stop at the last valid chunk, or as soon as the kept buffer is
+        # full: with ``count == m`` every later candidate is dropped by the
+        # capacity mask whether or not it survives suppression, so skipping
+        # the remaining chunks is exact (their ``keep`` stays False).  At
+        # eval load (max_nms=5000 candidates, max_det=1500) this cuts ~2/3
+        # of the chunk iterations.
+        return (carry[0] < n_chunks) & (carry[1][2] < m)
 
     def wrapped(carry):
         ci, inner = carry
