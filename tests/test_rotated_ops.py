@@ -150,6 +150,32 @@ class TestNMS:
             want = nms_oracle(boxes, scores, 0.3)
             np.testing.assert_array_equal(got, want)
 
+    def test_max_keep_cap_and_early_exit(self):
+        """Buffer-full semantics: with max_keep << kept-count the output is
+        the oracle's kept sequence truncated at max_keep and every later
+        candidate dropped — identical whether the chunk loop runs to the
+        last valid chunk or exits early once the buffer fills (the
+        early-exit path is otherwise never hit by the parity tests)."""
+        import jax.numpy as jnp
+
+        from ryolo_tpu.ops.rotated_nms import nms_rotated_masked
+
+        for seed, max_keep in ((0, 7), (1, 16), (2, 33)):
+            n = 200
+            boxes = rand_d2_boxes(n, seed + 300, spread=400.0)  # sparse:
+            scores = np.random.default_rng(seed).uniform(
+                0.01, 1, n).astype(np.float32)  # little suppression ->
+            # the kept buffer fills well before the last chunk
+            order, keep = nms_rotated_masked(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.ones(n, bool), jnp.float32(0.3),
+                max_keep=max_keep, chunk=32, pallas=False,
+            )
+            got = np.asarray(order)[np.asarray(keep)]
+            want = nms_oracle(boxes, scores, 0.3)
+            assert len(want) > max_keep  # the cap must actually bind
+            np.testing.assert_array_equal(got, want[:max_keep])
+
     def test_masked_padding_rows_never_kept(self):
         boxes = np.zeros((8, 5), np.float32)
         boxes[:, 2:4] = 1.0
