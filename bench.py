@@ -208,12 +208,13 @@ def bench_eval_ips(model, variables, n_images: int = 48):
     t0 = time.perf_counter()
     _, loader = load_data(data["val"], data["names"], data["type"], hyp,
                           csl=True, img_size=IMG, batch_size=BATCH,
-                          augment=False, shuffle=False, max_targets=64)
+                          augment=False, shuffle=False, max_targets=64,
+                          image_uint8=True)  # device normalizes, bit-exact
     batches = [dict(b) for b in loader]
     load_s = time.perf_counter() - t0
 
     # pre-upload to device, same convention as the detect headline (the
-    # axon tunnel moves ~60 MB/batch of f32 images at ~tens of MB/s — a
+    # axon tunnel moves the image batches at ~tens of MB/s — a
     # host-attached deployment pays none of that); upload time is charged
     # to the e2e number
     t0 = time.perf_counter()

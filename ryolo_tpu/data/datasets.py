@@ -141,9 +141,11 @@ def mosaic9_box(i: int, size, base, prev, s: int):
 class ImageDataset:
     """Label-free folder dataset for detect (``datasets/base_dataset.py:59-81``)."""
 
-    def __init__(self, folder_path: str, img_size: int = 416, ext: str = "png"):
+    def __init__(self, folder_path: str, img_size: int = 416, ext: str = "png",
+                 image_uint8: bool = False):
         self.files = sorted(glob.glob(os.path.join(folder_path, f"*.{ext}")))
         self.img_size = img_size
+        self.image_uint8 = image_uint8
 
     def __len__(self):
         return len(self.files)
@@ -152,7 +154,11 @@ class ImageDataset:
         path = self.files[index % len(self.files)]
         img = cv2.imread(path)
         img, _ = pad_to_square(img, (self.img_size, self.img_size), PAD_VALUE)
-        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
+        if self.image_uint8:
+            img = np.ascontiguousarray(img[:, :, ::-1])
+        else:
+            img = np.ascontiguousarray(img[:, :, ::-1],
+                                       dtype=np.float32) / 255.0
         return path, img
 
 
@@ -175,6 +181,10 @@ class BaseDataset:
         # ultralytics ``--cache ram`` pattern)
         self.cache_images = cache_images
         self._img_cache: dict = {}
+        # emit RGB uint8 samples instead of f32/255 (eval/infer path only):
+        # the device normalizes with the SAME f32 division, bit-identical,
+        # at 1/4 the host->device image traffic (set via load_data)
+        self.image_uint8 = False
 
     # -- subclass interface -------------------------------------------------
     def load_files(self, label_path: str):
@@ -354,7 +364,11 @@ class BaseDataset:
 
         labels = self._finalize_labels(targets)
 
-        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
+        if self.image_uint8:
+            img = np.ascontiguousarray(img[:, :, ::-1])
+        else:
+            img = np.ascontiguousarray(img[:, :, ::-1],
+                                       dtype=np.float32) / 255.0
         return self.img_files[index], img, labels
 
 

@@ -121,7 +121,9 @@ class DataLoader:
         B = len(samples)
         T = self.max_targets
         s = self.dataset.img_size
-        images = np.zeros((B, s, s, 3), np.float32)
+        img_dtype = (np.uint8 if getattr(self.dataset, "image_uint8", False)
+                     else np.float32)
+        images = np.zeros((B, s, s, 3), img_dtype)
         tgt = np.zeros((B, T, 6), np.float32)
         csl = np.zeros((B, T, 180), np.float32) if self.csl else None
         mask = np.zeros((B, T), bool)
@@ -287,7 +289,7 @@ DATASETS = {
 def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
               batch_size=4, augment=False, shuffle=True, max_targets=300,
               drop_last=False, seed=42, workers=4, shard=None,
-              device_augment=False, cache_images=False):
+              device_augment=False, cache_images=False, image_uint8=False):
     """Dataset + loader factory, mirroring ``lib/load.py:9-21``'s contract.
 
     ``shard=(host_id, n_hosts)`` enables host-sharded loading for multi-host
@@ -295,7 +297,9 @@ def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
     ``device_augment`` makes the loader emit render SPECS (host does only
     decode + label math; pixels composite on device, see
     ryolo_tpu/data/device_augment.py); ``cache_images`` keeps decoded
-    resized sources in RAM.
+    resized sources in RAM.  ``image_uint8`` emits RGB uint8 image batches
+    for the un-augmented eval path — the jitted eval step normalizes with
+    the same f32 /255 (bit-identical) at 1/4 the upload traffic.
     """
     if dataset_type not in DATASETS:
         raise NotImplementedError(f"dataset type {dataset_type!r} not supported")
@@ -303,6 +307,10 @@ def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
         data_dir, class_names, hyp, img_size=img_size, augment=augment,
         csl=csl, cache_images=cache_images,
     )
+    if image_uint8:
+        if augment:
+            raise ValueError("image_uint8 is for the un-augmented eval path")
+        dataset.image_uint8 = True
     loader = DataLoader(dataset, batch_size, csl=csl, shuffle=shuffle,
                         max_targets=max_targets, drop_last=drop_last,
                         seed=seed, workers=workers, shard=shard,

@@ -53,6 +53,16 @@ def padded_targets_to_rows(tgt, mask, img_size: int) -> np.ndarray:
     return np.concatenate(rows, 0)
 
 
+def _norm_images(arrays):
+    """uint8 batches normalize in-graph: ``uint8 -> f32 / 255`` is the
+    exact same f32 division the host loader performs, so results are
+    bit-identical at 1/4 the host->device traffic."""
+    imgs = arrays["images"]
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
+    return imgs
+
+
 def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
     key = (id(model), id(loss_fn), float(conf_thres), float(iou_thres),
            int(max_nms), int(max_det))
@@ -69,7 +79,7 @@ def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
         @jax.jit
         def step(variables, arrays):
             outputs, (dec, neck) = model.apply(
-                variables, arrays["images"], train=False, decode="defer")
+                variables, _norm_images(arrays), train=False, decode="defer")
             dets, valid = post_process_defer(
                 dec, neck, 3, model.n_classes, float(conf_thres),
                 float(iou_thres), max_nms=max_nms, max_det=max_det,
@@ -81,7 +91,7 @@ def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
     else:
         @jax.jit
         def step(variables, arrays):
-            outputs, decoded = model.apply(variables, arrays["images"],
+            outputs, decoded = model.apply(variables, _norm_images(arrays),
                                            train=False, decode=True)
             dets, valid = post_process_fixed(
                 decoded, float(conf_thres), float(iou_thres),

@@ -134,6 +134,22 @@ def test_evaluate_device_batches_match_loader(tmp_path):
                    batches=dev_batches)
     np.testing.assert_allclose(got[:4], ref[:4], rtol=0, atol=1e-7)
 
+    # uint8 batches (device-side /255 normalize) must be bit-identical to
+    # the host-normalized f32 path
+    _, loader8 = load_data(data["val"], data["names"], "custom", HYP,
+                           csl=True, img_size=96, batch_size=2,
+                           augment=False, shuffle=False, max_targets=32,
+                           image_uint8=True)
+    u8_batches = [
+        {k: jax.device_put(np.asarray(v)) for k, v in dict(b).items()
+         if k != "paths"}
+        for b in loader8
+    ]
+    assert u8_batches[0]["images"].dtype == jnp.uint8
+    got8 = evaluate(model, variables, None, data, HYP, **kw,
+                    batches=u8_batches)
+    np.testing.assert_allclose(got8[:4], ref[:4], rtol=0, atol=0)
+
 
 def test_evaluate_end_to_end(tmp_path):
     sys.path.insert(0, os.path.dirname(__file__))
