@@ -158,6 +158,7 @@ def evaluate(
             data["val"], data["names"], data["type"], hyp, csl,
             img_size=img_size, batch_size=batch_size, augment=False,
             shuffle=False, max_targets=max_targets,
+            image_uint8=True,  # device-side /255, bit-exact, 1/4 traffic
         )
     else:
         loader = batches
