@@ -42,8 +42,10 @@ class Detect:
         config = load_yaml(args.hyp)
         nc = len(data["names"])
 
+        # uint8 letterboxed batches: the jitted step normalizes with the
+        # identical f32 /255 (bit-exact) at 1/4 the host->device traffic
         dataset = ImageDataset(data["test"], img_size=args.img_size,
-                               ext=args.ext)
+                               ext=args.ext, image_uint8=True)
         if not len(dataset):
             logger.error(f"No .{args.ext} images found under {data['test']}")
             sys.exit(1)
@@ -74,6 +76,8 @@ class Detect:
 
             @jax.jit
             def infer(variables, images):
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
                 _, (dec, neck) = model.apply(variables, images, train=False,
                                              decode="defer")
                 dets, valid = post_process_defer(
@@ -84,6 +88,8 @@ class Detect:
         else:
             @jax.jit
             def infer(variables, images):
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
                 _, decoded = model.apply(variables, images, train=False,
                                          decode=True)
                 dets, valid = post_process_fixed(
