@@ -126,6 +126,30 @@ class TestLoader:
         want = np.trunc(labels[:, 6] * 180 / np.pi + 90)
         np.testing.assert_array_equal(peak, want.astype(int))
 
+    def test_image_uint8_mode_matches_f32(self, synth):
+        """uint8 samples must be exactly the pre-/255 f32 samples, for both
+        the labelled dataset and the detect-CLI ImageDataset."""
+        from ryolo_tpu.data.datasets import ImageDataset
+
+        ds32 = CustomDataset(os.path.join(synth, "train"), ["a", "b"], HYP,
+                             img_size=128, augment=False, csl=True)
+        ds8 = CustomDataset(os.path.join(synth, "train"), ["a", "b"], HYP,
+                            img_size=128, augment=False, csl=True)
+        ds8.image_uint8 = True
+        _, img32, lab32 = ds32.get_sample(0, np.random.default_rng(0))
+        _, img8, lab8 = ds8.get_sample(0, np.random.default_rng(0))
+        assert img8.dtype == np.uint8
+        np.testing.assert_array_equal(img8.astype(np.float32) / 255.0, img32)
+        np.testing.assert_array_equal(lab8, lab32)
+
+        d32 = ImageDataset(os.path.join(synth, "train"), img_size=128)
+        d8 = ImageDataset(os.path.join(synth, "train"), img_size=128,
+                          image_uint8=True)
+        _, i32 = d32[0]
+        _, i8 = d8[0]
+        assert i8.dtype == np.uint8
+        np.testing.assert_array_equal(i8.astype(np.float32) / 255.0, i32)
+
     def test_augmented_sample_runs(self, synth):
         ds = CustomDataset(os.path.join(synth, "train"), ["a", "b"], HYP,
                            img_size=128, augment=True, csl=False)
