@@ -226,6 +226,11 @@ def bench_eval_ips(model, variables, n_images: int = 48):
     jax.block_until_ready([list(b.values()) for b in batches])
     load_s += time.perf_counter() - t0
 
+    # pre-upload the deploy-fused weights once (they fold on host as numpy;
+    # evaluate() would otherwise pay the ~150 MB tunnel upload per call)
+    variables = jax.device_put(variables)
+    jax.block_until_ready(variables)
+
     # warm pass compiles the eval step
     evaluate(model, variables, None, data, hyp, csl=True, img_size=IMG,
              batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,

@@ -181,6 +181,16 @@ def evaluate(
         img_sharding = batch_sharding(mesh, spatial=False)
         tgt_sharding = target_sharding(mesh)
         variables = jax.device_put(variables, replicate(mesh))
+    else:
+        # Deploy-fused variables arrive as HOST numpy arrays
+        # (nn/deploy.py folds on host); passing them as step() arguments
+        # would re-upload the full ~150 MB parameter set on EVERY batch —
+        # ~3 s/batch through the axon tunnel, 50x the step itself.  Pin
+        # them to device once.  No-op for already-device-resident trees.
+        leaves = jax.tree_util.tree_leaves(variables)
+        if any(not isinstance(l, jax.Array) for l in leaves):
+            variables = jax.device_put(variables)
+            jax.block_until_ready(variables)
 
     step = _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms,
                          max_det)
@@ -239,14 +249,12 @@ def evaluate(
                 # dominates the measured step)
                 arrays = {k: v for k, v in batch.items() if k != "paths"}
                 arrays = _pad_batch(arrays, batch_size)
-                tgt_host = np.asarray(arrays["tgt"][:real_b])
-                mask_host = np.asarray(arrays["tgt_mask"][:real_b])
+                tgt_dev, mask_dev = arrays["tgt"], arrays["tgt_mask"]
             else:
                 arrays = {k: np.asarray(v) for k, v in batch.items()
                           if k != "paths"}
                 arrays = _pad_batch(arrays, batch_size)
-                tgt_host = arrays["tgt"][:real_b]
-                mask_host = arrays["tgt_mask"][:real_b]
+                tgt_dev, mask_dev = None, None
             if mesh is not None:
                 arrays = {
                     k: jax.device_put(
@@ -255,7 +263,15 @@ def evaluate(
                     for k, v in arrays.items()
                 }
 
-            out = step(variables, arrays)  # async dispatch
+            out = step(variables, arrays)  # async dispatch FIRST
+            if tgt_dev is not None:
+                # device-resident targets: pull AFTER dispatch so the D2H
+                # round-trip overlaps the running step instead of stalling it
+                tgt_host = np.asarray(tgt_dev[:real_b])
+                mask_host = np.asarray(mask_dev[:real_b])
+            else:
+                tgt_host = arrays["tgt"][:real_b]
+                mask_host = arrays["tgt_mask"][:real_b]
             in_flight.append((out, tgt_host, mask_host, real_b))
             if len(in_flight) >= PIPELINE:
                 drain_one()

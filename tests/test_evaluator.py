@@ -151,6 +151,58 @@ def test_evaluate_device_batches_match_loader(tmp_path):
     np.testing.assert_allclose(got8[:4], ref[:4], rtol=0, atol=0)
 
 
+def test_evaluate_pins_host_variables_to_device(tmp_path, monkeypatch):
+    """Deploy-fused variables arrive as HOST numpy arrays; evaluate() must
+    device_put them ONCE before the loop — passing numpy leaves to the
+    jitted step re-uploads the full parameter set on EVERY batch (~3 s/batch
+    through the axon tunnel, 50x the step itself; found in the round-3
+    eval-throughput capture)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_synth_data import main
+
+    import ryolo_tpu.eval.evaluator as ev
+
+    root = str(tmp_path / "synth")
+    main(root, n_images=4, img_size=96, seed=7)
+
+    model = Yolo(n_classes=2, model_config=CFG, mode="csl", ver="yolov5")
+    variables = dict(
+        model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    )
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    assert all(isinstance(l, np.ndarray)
+               for l in jax.tree_util.tree_leaves(host_vars))
+
+    seen_types = []
+    real_step_fn = ev._eval_step_fn
+
+    def spy_step_fn(*args, **kw):
+        step = real_step_fn(*args, **kw)
+
+        def wrapped(vs, arrays):
+            seen_types.append(
+                all(isinstance(l, jax.Array)
+                    for l in jax.tree_util.tree_leaves(vs))
+            )
+            return step(vs, arrays)
+
+        return wrapped
+
+    monkeypatch.setattr(ev, "_eval_step_fn", spy_step_fn)
+
+    data = {"val": f"{root}/val", "names": ["a", "b"], "type": "custom"}
+    kw = dict(csl=True, img_size=96, batch_size=2, conf_thres=0.001,
+              iou_thres=0.65, max_targets=32, progress=False)
+    got = ev.evaluate(model, host_vars, None, data, HYP, **kw)
+    assert seen_types and all(seen_types), \
+        "evaluate() stepped with host-numpy variables (per-batch re-upload)"
+
+    # and the results must match the device-variables path exactly
+    ref = evaluate(model, variables, None, data, HYP, **kw)
+    np.testing.assert_allclose(got[:4], ref[:4], rtol=0, atol=0)
+
+
 def test_evaluate_end_to_end(tmp_path):
     sys.path.insert(0, os.path.dirname(__file__))
     from make_synth_data import main
