@@ -438,43 +438,58 @@ def bench_train(img: int, batch: int, iters: int = 12,
     # --- loader-fed with DEVICE-SIDE augmentation + decoded-image cache:
     # the host emits render specs (decode + label math only); mosaic/warp/
     # HSV/mixup composite on device (ryolo_tpu/data/device_augment.py)
+    from ryolo_tpu.data.device_augment import render_batch
+
+    def run_epochs(dloader, bank, n_epochs, first_epoch):
+        nonlocal state
+        n_img = 0
+        t0 = time.perf_counter()
+        for epoch in range(first_epoch, first_epoch + n_epochs):
+            dloader.set_epoch(epoch)
+            for b in dloader:
+                sa = {k: jnp.asarray(np.asarray(v))
+                      for k, v in b.items() if k != "paths"}
+                images = render_batch(sa, n_out=batch, bank=bank)
+                arrays = {"images": images, "tgt": sa["tgt"],
+                          "tgt_csl": sa["tgt_csl"],
+                          "tgt_mask": sa["tgt_mask"]}
+                state, loss, _ = trainer.train_step(state, arrays, lr, acc)
+                n_img += batch
+        jax.block_until_ready(state)
+        return n_img / (time.perf_counter() - t0)
+
     ips_devaug = None
     try:
-        from ryolo_tpu.data.device_augment import render_specs
-
         _, dloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
                                "custom", hyp, csl=True, img_size=img,
                                batch_size=batch, augment=True, shuffle=True,
                                max_targets=T, drop_last=True,
                                device_augment=True, cache_images=True)
-
-        def run_epochs(n_epochs, first_epoch):
-            nonlocal state
-            n_img = 0
-            t0 = time.perf_counter()
-            for epoch in range(first_epoch, first_epoch + n_epochs):
-                dloader.set_epoch(epoch)
-                for b in dloader:
-                    sa = {k: jnp.asarray(np.asarray(v))
-                          for k, v in b.items() if k != "paths"}
-                    images = render_specs(
-                        sa["spec_tiles"], sa["spec_region"],
-                        sa["spec_offset"], sa["spec_hsv"], sa["spec_minv"],
-                        sa["spec_flip"], sa["spec_mix_idx"],
-                        sa["spec_mix_r"], n_out=batch)
-                    arrays = {"images": images, "tgt": sa["tgt"],
-                              "tgt_csl": sa["tgt_csl"],
-                              "tgt_mask": sa["tgt_mask"]}
-                    state, loss, _ = trainer.train_step(state, arrays, lr,
-                                                        acc)
-                    n_img += batch
-            jax.block_until_ready(state)
-            return n_img / (time.perf_counter() - t0)
-
-        run_epochs(1, 0)  # warm: compile the renderer + fill decode cache
-        ips_devaug = run_epochs(max(2, iters // len(dloader)), 1)
+        run_epochs(dloader, None, 1, 0)  # warm: compile + fill decode cache
+        ips_devaug = run_epochs(dloader, None,
+                                max(2, iters // len(dloader)), 1)
     except Exception as e:  # noqa: BLE001
         print(f"# device-aug loader bench failed: {e!r}")
+
+    # --- loader-fed with the device-RESIDENT tile bank: the decoded train
+    # split pins to HBM once; batches ship only (B, T) int32 bank rows +
+    # spec scalars, so even a tunnel-attached 1-core host keeps the device
+    # busy (the north-star input pipeline, SURVEY §7 step 5)
+    ips_devcache = None
+    try:
+        cds, cloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
+                                 "custom", hyp, csl=True, img_size=img,
+                                 batch_size=batch, augment=True,
+                                 shuffle=True, max_targets=T,
+                                 drop_last=True, device_augment=True,
+                                 device_cache=True)
+        bank = jax.device_put(cds.build_tile_bank())
+        jax.block_until_ready(bank)
+        run_epochs(cloader, bank, 1, 0)  # warm
+        ips_devcache = run_epochs(cloader, bank,
+                                  max(2, iters // len(cloader)), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"# device-cache loader bench failed: {e!r}")
 
     out = {
         "metric": f"train_img_per_sec_chip_{img}px_yolov7_csl_{dtype_name}",
@@ -488,6 +503,10 @@ def bench_train(img: int, batch: int, iters: int = 12,
         else None,
         "input_stall_frac_devaug": round(1 - ips_devaug / ips_device, 3)
         if ips_devaug else None,
+        "loader_fed_devcache_img_s": round(ips_devcache, 2) if ips_devcache
+        else None,
+        "input_stall_frac_devcache": round(1 - ips_devcache / ips_device, 3)
+        if ips_devcache else None,
         "host_cores": os.cpu_count(),
     }
     print(json.dumps(out))

@@ -185,6 +185,9 @@ class BaseDataset:
         # the device normalizes with the SAME f32 division, bit-identical,
         # at 1/4 the host->device image traffic (set via load_data)
         self.image_uint8 = False
+        # device tile bank (build_tile_bank): (h0, w0), (h, w) per index so
+        # index-mode render specs skip host pixel work entirely
+        self._bank_sizes: dict = {}
 
     # -- subclass interface -------------------------------------------------
     def load_files(self, label_path: str):
@@ -217,6 +220,35 @@ class BaseDataset:
             self._img_cache[index] = (img, (h, w), img.shape[:2])
             return img.copy(), (h, w), img.shape[:2]
         return img, (h, w), img.shape[:2]
+
+    def build_tile_bank(self) -> np.ndarray:
+        """Decode+resize the WHOLE dataset once -> (N, s, s, 3) uint8 RGB.
+
+        Each row holds one image resized to fit s×s, content top-left —
+        exactly the tile layout the per-spec render path ships — so a
+        device-resident copy of this array turns every later batch's image
+        traffic into (B, T) int32 bank indices (see
+        :func:`ryolo_tpu.data.device_augment.render_specs_banked`).
+        N × s² × 3 bytes of HBM (1.9 MB/image at 800px); the caller
+        ``jax.device_put``s it once per training run.
+        """
+        s = self.img_size
+        n = len(self.img_files)
+        bank = np.zeros((n, s, s, 3), np.uint8)
+        for i in range(n):
+            img, size0, size = self._load_resized(i)
+            h, w = size
+            bank[i, :h, :w] = img[:, :, ::-1]  # BGR -> RGB, like the tiles
+            self._bank_sizes[i] = (size0, size)
+        return bank
+
+    def _tile_meta(self, index: int, banked: bool):
+        """((h0, w0), (h, w)) of the resized source; with the bank built the
+        lookup costs no pixel work (no decode, no cache memcpy)."""
+        if banked:
+            return self._bank_sizes[index]
+        img, size0, size = self._load_resized(index)
+        return size0, size
 
     def _draw_hsv_gains(self, rng: np.random.Generator) -> np.ndarray:
         """The rng draw of :func:`hsv_augment` without applying it."""
@@ -409,12 +441,18 @@ class BaseDataset:
             targets[:, 1:] = (pts @ rot.T + shift - rot @ center).reshape(-1, 8)
         return targets
 
-    def _spec_mosaic(self, index, rng, use9: bool):
-        """Tiles/regions/offsets + canvas-space labels for a mosaic draw."""
+    def _spec_mosaic(self, index, rng, use9: bool, banked: bool = False):
+        """Tiles/regions/offsets + canvas-space labels for a mosaic draw.
+
+        ``banked``: emit bank row indices instead of tile pixels (the
+        device-resident tile-bank mode; same rng order, same labels).
+        """
         from ryolo_tpu.data.device_augment import MAX_TILES
 
         s = self.img_size
-        tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
+        tiles = (None if banked
+                 else np.zeros((MAX_TILES, s, s, 3), np.uint8))
+        tile_idx = np.zeros((MAX_TILES,), np.int32)
         region = np.zeros((MAX_TILES, 4), np.float32)
         offset = np.zeros((MAX_TILES, 2), np.float32)
         hsv = np.ones((MAX_TILES, 3), np.float32)
@@ -424,9 +462,13 @@ class BaseDataset:
                       for x in self.mosaic_border]
             indices = [index] + list(rng.integers(0, len(self.img_files), 3))
             for i, idx in enumerate(indices):
-                img, (h0, w0), (h, w) = self._load_resized(idx)
+                if banked:
+                    (h0, w0), (h, w) = self._tile_meta(idx, True)
+                else:
+                    img, (h0, w0), (h, w) = self._load_resized(idx)
+                    tiles[i, :h, :w] = img[:, :, ::-1]  # ship RGB
                 hsv[i] = self._draw_hsv_gains(rng)
-                tiles[i, :h, :w] = img[:, :, ::-1]  # ship RGB
+                tile_idx[i] = idx
                 (x1a, x2a, x1b, x2b), (y1a, y2a, y1b, y2b) = mosaic4_spans(
                     i, xc, yc, w, h, s
                 )
@@ -442,11 +484,15 @@ class BaseDataset:
             indices = [index] + list(rng.integers(0, len(self.img_files), 8))
             prev = base = (0, 0)
             for i, idx in enumerate(indices):
-                img, (h0, w0), (h, w) = self._load_resized(idx)
+                if banked:
+                    (h0, w0), (h, w) = self._tile_meta(idx, True)
+                else:
+                    img, (h0, w0), (h, w) = self._load_resized(idx)
+                    tiles[i, :h, :w] = img[:, :, ::-1]
                 hsv[i] = self._draw_hsv_gains(rng)
+                tile_idx[i] = idx
                 if i == 0:
                     base = (w, h)
-                tiles[i, :h, :w] = img[:, :, ::-1]
                 x1, y1, x2, y2 = mosaic9_box(i, (w, h), base, prev, s)
                 cx1, cy1 = max(x1, 0), max(y1, 0)
                 region[i] = [cx1, cy1, x2, y2]
@@ -471,9 +517,15 @@ class BaseDataset:
                 targets[:, 1::2] -= xc
                 targets[:, 2::2] -= yc
             crop = (float(xc), float(yc))
-        return tiles, region, offset, hsv, crop, targets
+        return tiles, tile_idx, region, offset, hsv, crop, targets
 
-    def get_render_spec(self, index: int, rng: np.random.Generator):
+    @staticmethod
+    def _tile_key(tiles, tile_idx):
+        return ({"tiles": tiles} if tiles is not None
+                else {"tile_idx": tile_idx})
+
+    def get_render_spec(self, index: int, rng: np.random.Generator,
+                        banked: bool = False):
         """Device-augmentation twin of :meth:`get_sample`.
 
         Returns ``(path, specs, mix_r, flips, labels)`` where ``specs`` is
@@ -482,17 +534,25 @@ class BaseDataset:
         identical to what :meth:`get_sample` would produce for the same
         ``(index, rng)``, since both run the same label math in the same
         rng order.
+
+        ``banked``: specs carry ``tile_idx`` bank rows instead of ``tiles``
+        pixels (requires :meth:`build_tile_bank` first); rng order and
+        labels are unchanged, so the two modes are interchangeable per
+        (index, rng).
         """
         if not self.augment:
             raise ValueError("render specs exist for the augment pipeline; "
                              "eval/detect letterboxing stays host-side")
+        if banked and not self._bank_sizes:
+            raise ValueError("banked render specs need build_tile_bank() "
+                             "called first")
         hyp = self.hyp
         s = self.img_size
         mosaic_draw = rng.random() < hyp["mosaic"]
         if mosaic_draw:
             use9 = not (rng.random() < 0.8)
-            tiles, region, offset, hsv, crop, targets = self._spec_mosaic(
-                index, rng, use9
+            tiles, tidx, region, offset, hsv, crop, targets = (
+                self._spec_mosaic(index, rng, use9, banked)
             )
             rot, shift, center, minv = self._warp_params(
                 rng, (2 * s, 2 * s), self.mosaic_border
@@ -500,14 +560,14 @@ class BaseDataset:
             targets = self._warp_targets(targets, rot, shift, center)
             minv = minv.copy()
             minv[:, 2] += np.asarray(crop, np.float32)
-            specs = [{"tiles": tiles, "region": region, "offset": offset,
-                      "hsv": hsv, "minv": minv}]
+            specs = [{**self._tile_key(tiles, tidx), "region": region,
+                      "offset": offset, "hsv": hsv, "minv": minv}]
             mix_r = None
             if rng.random() < hyp["mixup"]:
                 j = int(rng.integers(0, len(self.img_files)))
                 use9b = not (rng.random() < 0.8)
-                t2, r2, o2, g2, crop2, targets2 = self._spec_mosaic(
-                    j, rng, use9b
+                t2, ti2, r2, o2, g2, crop2, targets2 = self._spec_mosaic(
+                    j, rng, use9b, banked
                 )
                 rot2, shift2, center2, minv2 = self._warp_params(
                     rng, (2 * s, 2 * s), self.mosaic_border
@@ -515,12 +575,12 @@ class BaseDataset:
                 targets2 = self._warp_targets(targets2, rot2, shift2, center2)
                 minv2 = minv2.copy()
                 minv2[:, 2] += np.asarray(crop2, np.float32)
-                specs.append({"tiles": t2, "region": r2, "offset": o2,
-                              "hsv": g2, "minv": minv2})
+                specs.append({**self._tile_key(t2, ti2), "region": r2,
+                              "offset": o2, "hsv": g2, "minv": minv2})
                 mix_r = float(rng.beta(8.0, 8.0))
                 targets = np.concatenate([targets, targets2], 0)
         else:
-            spec, targets = self._spec_letterbox_warp(index, rng)
+            spec, targets = self._spec_letterbox_warp(index, rng, banked)
             specs = [spec]
             mix_r = None
 
@@ -540,18 +600,24 @@ class BaseDataset:
         return (self.img_files[index], specs, mix_r, (flip_lr, flip_ud),
                 labels)
 
-    def _spec_letterbox_warp(self, index, rng):
+    def _spec_letterbox_warp(self, index, rng, banked: bool = False):
         """Non-mosaic augmented spec (letterbox + random warp)."""
         from ryolo_tpu.data.device_augment import MAX_TILES
 
         s = self.img_size
-        img, (h0, w0), (h, w) = self._load_resized(index)
+        tiles = None
+        if banked:
+            (h0, w0), (h, w) = self._tile_meta(index, True)
+        else:
+            img, (h0, w0), (h, w) = self._load_resized(index)
+            tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
+            tiles[0, :h, :w] = img[:, :, ::-1]
         gains = self._draw_hsv_gains(rng)
-        tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
+        tile_idx = np.zeros((MAX_TILES,), np.int32)
+        tile_idx[0] = index
         region = np.zeros((MAX_TILES, 4), np.float32)
         offset = np.zeros((MAX_TILES, 2), np.float32)
         hsv = np.ones((MAX_TILES, 3), np.float32)
-        tiles[0, :h, :w] = img[:, :, ::-1]
         hsv[0] = gains
         dw, dh = (s - w) / 2, (s - h) / 2
         top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
@@ -560,8 +626,8 @@ class BaseDataset:
         targets = self.load_target(index, (dh, dw), (h0, w0), (h, w))
         rot, shift, center, minv = self._warp_params(rng, (s, s), (0, 0))
         targets = self._warp_targets(targets, rot, shift, center)
-        return ({"tiles": tiles, "region": region, "offset": offset,
-                 "hsv": hsv, "minv": minv}, targets)
+        return ({**self._tile_key(tiles, tile_idx), "region": region,
+                 "offset": offset, "hsv": hsv, "minv": minv}, targets)
 
     def _finalize_labels(self, targets):
         """Polygon targets -> reference label rows (shared with get_sample)."""

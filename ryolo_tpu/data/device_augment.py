@@ -23,6 +23,9 @@ the SAME rng sequence as the numpy pipeline (parity pinned by
 
 Layouts (B specs per batch, T = MAX_TILES tile slots, s = img_size):
   * ``tiles``   (B, T, s, s, 3) uint8 — decoded sources, content top-left
+    (device-cache mode replaces this with ``tile_idx`` (B, T) int32 rows
+    into a dataset-wide device-resident bank — see
+    :func:`render_specs_banked`)
   * ``region``  (B, T, 4) f32 — canvas-space ownership box [x1, y1, x2, y2)
     (zero-area for unused slots; later slots overwrite earlier ones)
   * ``offset``  (B, T, 2) f32 — canvas→source translation (sx = cx - ox)
@@ -112,7 +115,8 @@ def hsv_jitter(rgb, gains):
 # The renderer
 # ---------------------------------------------------------------------------
 
-def _render_one(tiles, region, offset, hsv, minv, out_size: int):
+def _render_one(tile_rows, slot_rows, region, offset, hsv, minv,
+                out_size: int):
     """Render one spec (T tile slots) to an (s, s, 3) f32 image in [0, 255].
 
     For each output pixel, the inverse affine gives a float canvas coord;
@@ -120,9 +124,15 @@ def _render_one(tiles, region, offset, hsv, minv, out_size: int):
     (last overlapping slot wins — mosaic paste order) and gathers the
     HSV-jittered source pixel, so tile seams blend exactly like warping
     the materialized canvas would.
+
+    ``tile_rows`` is the gather source — (R, s, s, 3) uint8 rows, either
+    this spec's own T tiles or the whole device-resident dataset bank —
+    and ``slot_rows`` (T,) maps each spec slot to its row, so the banked
+    and per-spec paths share one gather (bit-identical outputs).
     """
     s = out_size
-    T = tiles.shape[0]
+    T = region.shape[0]
+    flat = tile_rows.reshape(-1, 3)
 
     # output pixel grid -> canvas coords (cv2 warpAffine convention:
     # integer pixel centers, dst(x,y) = src(Minv @ (x, y, 1)))
@@ -149,12 +159,26 @@ def _render_one(tiles, region, offset, hsv, minv, out_size: int):
         owner = jnp.max(jnp.where(inside, slot_ids, -1), axis=0)  # (s, s)
         valid = owner >= 0
         o = jnp.maximum(owner, 0)
-        sx = jnp.clip(qx - jnp.take(offset[:, 0], o), 0, s - 1)
-        sy = jnp.clip(qy - jnp.take(offset[:, 1], o), 0, s - 1)
-        lin = (o * s + sy.astype(jnp.int32)) * s + sx.astype(jnp.int32)
-        col = jnp.take(tiles.reshape(T * s * s, 3), lin, axis=0)
+        # per-slot scalars resolve through SELECT chains over the T static
+        # slots, NOT jnp.take: XLA lowers even a 9-row table lookup with an
+        # (s, s) index to a full s^2-row gather (~65 ms each at 800px on
+        # TPU — profiled at 16 of the renderer's 20 gathers, 4x its actual
+        # pixel-gather work); the selects are ~free VPU ops.
+        offx = jnp.zeros_like(qx)
+        offy = jnp.zeros_like(qy)
+        row = jnp.zeros(qx.shape, jnp.int32)
+        g = jnp.ones(qx.shape + (3,), jnp.float32)
+        for k in range(T):
+            sel = o == k
+            offx = jnp.where(sel, offset[k, 0], offx)
+            offy = jnp.where(sel, offset[k, 1], offy)
+            row = jnp.where(sel, slot_rows[k], row)
+            g = jnp.where(sel[..., None], hsv[k], g)
+        sx = jnp.clip(qx - offx, 0, s - 1)
+        sy = jnp.clip(qy - offy, 0, s - 1)
+        lin = (row * s + sy.astype(jnp.int32)) * s + sx.astype(jnp.int32)
+        col = jnp.take(flat, lin, axis=0)
         col = col.astype(jnp.float32)
-        g = jnp.take(hsv, o, axis=0)  # (s, s, 3)
         # identity gains skip the (quantizing) HSV round-trip entirely,
         # like the reference's early-out (lib/augmentations.py:31-32)
         ident = jnp.all(g == 1.0, axis=-1, keepdims=True)
@@ -187,10 +211,55 @@ def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
     for layouts.
     """
     s = tiles.shape[2]
+    T = tiles.shape[1]
+    rows = jnp.arange(T, dtype=jnp.int32)
     imgs = jax.vmap(
-        lambda t, r, o, g, m: _render_one(t, r, o, g, m, s)
+        lambda t, r, o, g, m: _render_one(t, rows, r, o, g, m, s)
     )(tiles, region, offset, hsv, minv)          # (B, s, s, 3) in [0,255]
+    return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
 
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
+                        mix_idx, mix_r, n_out: int):
+    """:func:`render_specs` gathering tiles from a device-RESIDENT bank.
+
+    ``bank`` is the whole decoded dataset — (N, s, s, 3) uint8 RGB, each
+    row an image resized to fit s×s with content top-left (exactly the
+    tile layout the per-spec path ships) — uploaded ONCE; ``tile_idx``
+    (B, T) int32 names each spec slot's bank row.  Per-batch host→device
+    traffic drops from the (B, T, s, s, 3) tile pixels (~140 MB at 800px
+    B=8) to a few KB of spec scalars, which is what makes device-side
+    augmentation a win even on low-bandwidth (tunnel-attached) hosts.
+    Outputs are bit-identical to :func:`render_specs` on the same specs:
+    both paths run the same gather, only the source rows differ.
+    """
+    s = bank.shape[1]
+    imgs = jax.vmap(
+        lambda ti, r, o, g, m: _render_one(bank, ti, r, o, g, m, s)
+    )(tile_idx, region, offset, hsv, minv)
+    return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
+
+
+def render_batch(arrays, n_out: int, bank=None):
+    """Dispatch a loader spec batch (dict of jax arrays) to the renderer.
+
+    Banked batches carry ``spec_tile_idx`` (needs ``bank``); pixel batches
+    carry ``spec_tiles`` (the bank-overflow fallback emits these even when
+    the loader runs in device-cache mode).
+    """
+    common = (arrays["spec_region"], arrays["spec_offset"],
+              arrays["spec_hsv"], arrays["spec_minv"], arrays["spec_flip"],
+              arrays["spec_mix_idx"], arrays["spec_mix_r"])
+    if "spec_tile_idx" in arrays:
+        if bank is None:
+            raise ValueError("banked spec batch needs the uploaded tile bank")
+        return render_specs_banked(bank, arrays["spec_tile_idx"], *common,
+                                   n_out=n_out)
+    return render_specs(arrays["spec_tiles"], *common, n_out=n_out)
+
+
+def _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out: int):
     base = imgs[:n_out]
     has_mix = mix_idx[:n_out] >= 0
     partner = jnp.take(imgs, jnp.maximum(mix_idx[:n_out], 0), axis=0)

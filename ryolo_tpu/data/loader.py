@@ -43,7 +43,8 @@ class DataLoader:
                  seed: int = 42, drop_last: bool = False,
                  workers: int = 4, prefetch: int = 2,
                  shard: Optional[tuple] = None,
-                 device_augment: bool = False):
+                 device_augment: bool = False,
+                 device_cache: bool = False):
         """``shard=(host_id, n_hosts)`` splits the (epoch-shuffled) sample
         order across hosts for multi-host data parallelism: each host loads
         a disjoint 1/n_hosts slice per epoch (SURVEY §5.8 host-sharded
@@ -90,6 +91,16 @@ class DataLoader:
         self.device_augment = device_augment
         if device_augment and not getattr(dataset, "augment", False):
             raise ValueError("device_augment requires an augmenting dataset")
+        # device_cache: specs reference rows of a device-RESIDENT tile bank
+        # (dataset.build_tile_bank()) instead of shipping tile pixels —
+        # per-batch image traffic becomes (B, T) int32 indices.  A batch
+        # whose mixup draws exceed the partner slots falls back to the
+        # pixel-spec layout for that batch (exact; ~0.3%/batch at B=8,
+        # mixup 0.15), so consumers must dispatch on the batch's keys
+        # (device_augment.render_batch does).
+        self.device_cache = device_cache
+        if device_cache and not device_augment:
+            raise ValueError("device_cache requires device_augment")
         self.extra_slots = max(1, -(-batch_size * 2 // 5))  # ceil(0.4·B)
 
     def _shard_len(self):
@@ -114,7 +125,8 @@ class DataLoader:
 
     def _sample(self, index: int):
         if self.device_augment:
-            return self.dataset.get_render_spec(index, self._rng(index))
+            return self.dataset.get_render_spec(index, self._rng(index),
+                                                banked=self.device_cache)
         return self.dataset.get_sample(index, self._rng(index))
 
     def _collate(self, samples):
@@ -182,7 +194,19 @@ class DataLoader:
         T = self.max_targets
         s = self.dataset.img_size
         BS = B + E
-        tiles = np.zeros((BS, MAX_TILES, s, s, 3), np.uint8)
+        banked = self.device_cache
+        if banked and sum(r is not None for _, _, r, _, _ in samples) > E:
+            # partner slots exhausted: banked specs cannot host-render the
+            # overflow sample (no pixel channel), so this BATCH falls back
+            # to the pixel-spec layout — exact (same per-(seed,epoch,index)
+            # rng draws), just pays the tile upload for this one batch
+            banked = False
+            samples = [
+                self.dataset.get_render_spec(i, self._rng(i), banked=False)
+                for i in indices
+            ]
+        tiles = (np.zeros((BS, MAX_TILES), np.int32) if banked
+                 else np.zeros((BS, MAX_TILES, s, s, 3), np.uint8))
         region = np.zeros((BS, MAX_TILES, 4), np.float32)
         offset = np.zeros((BS, MAX_TILES, 2), np.float32)
         hsv = np.ones((BS, MAX_TILES, 3), np.float32)
@@ -197,7 +221,7 @@ class DataLoader:
         paths = []
 
         def put(slot, spec):
-            tiles[slot] = spec["tiles"]
+            tiles[slot] = spec["tile_idx"] if banked else spec["tiles"]
             region[slot] = spec["region"]
             offset[slot] = spec["offset"]
             hsv[slot] = spec["hsv"]
@@ -220,10 +244,12 @@ class DataLoader:
                 next_extra += 1
             self._pack_labels(b, labels, tgt, csl, mask)
 
-        out = Batch(spec_tiles=tiles, spec_region=region, spec_offset=offset,
+        tile_field = "spec_tile_idx" if banked else "spec_tiles"
+        out = Batch(spec_region=region, spec_offset=offset,
                     spec_hsv=hsv, spec_minv=minv, spec_flip=flip,
                     spec_mix_idx=mix_idx, spec_mix_r=mix_r,
-                    tgt=tgt, tgt_mask=mask, paths=paths)
+                    tgt=tgt, tgt_mask=mask, paths=paths,
+                    **{tile_field: tiles})
         if self.csl:
             out["tgt_csl"] = csl
         return out
@@ -289,7 +315,8 @@ DATASETS = {
 def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
               batch_size=4, augment=False, shuffle=True, max_targets=300,
               drop_last=False, seed=42, workers=4, shard=None,
-              device_augment=False, cache_images=False, image_uint8=False):
+              device_augment=False, cache_images=False, image_uint8=False,
+              device_cache=False):
     """Dataset + loader factory, mirroring ``lib/load.py:9-21``'s contract.
 
     ``shard=(host_id, n_hosts)`` enables host-sharded loading for multi-host
@@ -300,6 +327,10 @@ def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
     resized sources in RAM.  ``image_uint8`` emits RGB uint8 image batches
     for the un-augmented eval path — the jitted eval step normalizes with
     the same f32 /255 (bit-identical) at 1/4 the upload traffic.
+    ``device_cache`` ships NO pixels per batch: the caller uploads
+    ``dataset.build_tile_bank()`` once and batches carry bank indices
+    (``spec_tile_idx``) — render with
+    ``device_augment.render_batch(arrays, n_out, bank=...)``.
     """
     if dataset_type not in DATASETS:
         raise NotImplementedError(f"dataset type {dataset_type!r} not supported")
@@ -314,5 +345,6 @@ def load_data(data_dir, class_names, dataset_type, hyp, csl, img_size=608,
     loader = DataLoader(dataset, batch_size, csl=csl, shuffle=shuffle,
                         max_targets=max_targets, drop_last=drop_last,
                         seed=seed, workers=workers, shard=shard,
-                        device_augment=device_augment)
+                        device_augment=device_augment,
+                        device_cache=device_cache)
     return dataset, loader

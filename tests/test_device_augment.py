@@ -152,6 +152,88 @@ def test_spec_loader_batches(synth):
                                atol=1e-5)
 
 
+def test_banked_specs_bit_identical(synth):
+    """Tile-bank specs (device_cache) must render BIT-IDENTICAL images to
+    pixel specs: same gather, only the source rows differ."""
+    import jax
+    import jax.numpy as jnp
+
+    from ryolo_tpu.data.device_augment import render_batch
+    from ryolo_tpu.data.loader import DataLoader
+
+    ds = _dataset(synth)
+    bank = jnp.asarray(ds.build_tile_bank())
+    assert bank.shape == (len(ds), 96, 96, 3) and bank.dtype == jnp.uint8
+
+    pl = DataLoader(ds, batch_size=4, csl=True, device_augment=True,
+                    max_targets=32, seed=11, shuffle=False)
+    bl = DataLoader(ds, batch_size=4, csl=True, device_augment=True,
+                    device_cache=True, max_targets=32, seed=11,
+                    shuffle=False)
+    pb = next(iter(pl))
+    bb = next(iter(bl))
+    assert "spec_tile_idx" in bb and bb["spec_tile_idx"].dtype == np.int32
+    assert "spec_tiles" not in bb
+
+    def arrays(b):
+        return {k: jnp.asarray(v) for k, v in b.items() if k != "paths"}
+
+    img_p = render_batch(arrays(pb), n_out=4)
+    img_b = render_batch(arrays(bb), n_out=4, bank=bank)
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_b))
+    np.testing.assert_allclose(bb["tgt"], pb["tgt"], rtol=0, atol=0)
+    np.testing.assert_array_equal(bb["tgt_mask"], pb["tgt_mask"])
+
+    # render_batch on a banked batch without the bank must refuse
+    with pytest.raises(ValueError):
+        render_batch(arrays(bb), n_out=4)
+    del jax
+
+
+def test_banked_overflow_falls_back_to_pixels(synth):
+    """When mixup draws exceed the partner slots, a banked loader must fall
+    back to the (exact) pixel-spec layout for that batch."""
+    import jax.numpy as jnp
+
+    from ryolo_tpu.data.device_augment import render_batch
+    from ryolo_tpu.data.loader import DataLoader
+
+    hyp = dict(HYP, mixup=1.0)  # every sample draws a partner: B > E
+    ds = _dataset(synth, hyp=hyp)
+    ds.build_tile_bank()
+    bl = DataLoader(ds, batch_size=4, csl=True, device_augment=True,
+                    device_cache=True, max_targets=32, seed=13,
+                    shuffle=False)
+    pl = DataLoader(ds, batch_size=4, csl=True, device_augment=True,
+                    max_targets=32, seed=13, shuffle=False)
+    bb = next(iter(bl))
+    assert "spec_tiles" in bb and "spec_tile_idx" not in bb  # fell back
+    pb = next(iter(pl))
+
+    def arrays(b):
+        return {k: jnp.asarray(v) for k, v in b.items() if k != "paths"}
+
+    np.testing.assert_array_equal(
+        np.asarray(render_batch(arrays(bb), n_out=4)),
+        np.asarray(render_batch(arrays(pb), n_out=4)),
+    )
+    np.testing.assert_allclose(bb["tgt"], pb["tgt"], rtol=0, atol=0)
+
+
+def test_device_cache_requires_device_augment(synth):
+    from ryolo_tpu.data.loader import DataLoader
+
+    ds = _dataset(synth)
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=2, csl=True, device_cache=True)
+
+
+def test_banked_spec_requires_bank(synth):
+    ds = _dataset(synth)
+    with pytest.raises(ValueError):
+        ds.get_render_spec(0, _rng(1, 0), banked=True)
+
+
 def test_cache_images_identical(synth):
     """cache_images must not change any sample."""
     ds0 = _dataset(synth)

@@ -131,14 +131,27 @@ class Train:
             (jax.process_index(), jax.process_count())
             if jax.process_count() > 1 else None
         )
-        _, train_loader = load_data(
+        train_dataset, train_loader = load_data(
             data["train"], data["names"], data["type"], hyp_cfg, csl,
             img_size=args.img_size, batch_size=args.batch_size, augment=True,
             shuffle=True, max_targets=args.max_targets, drop_last=True,
             shard=shard, device_augment=args.device_augment,
-            cache_images=args.cache_images,
+            cache_images=args.cache_images, device_cache=args.device_cache,
         )
         iters_per_epoch = len(train_loader)
+
+        tile_bank = None
+        if args.device_cache:
+            # decode the whole train split once and pin it to HBM: per-batch
+            # image traffic becomes (B, T) int32 bank rows (the mosaic/warp
+            # pixels composite on device from the bank)
+            bank_np = train_dataset.build_tile_bank()
+            logger.info(
+                f"Device tile bank: {bank_np.shape[0]} images, "
+                f"{bank_np.nbytes / 1e9:.2f} GB HBM"
+            )
+            tile_bank = jax.device_put(bank_np)
+            del bank_np
 
         trainer = Trainer(model, loss_fn, args.optimizer, args.lr)
         state = trainer.init_state(variables)
@@ -209,16 +222,15 @@ class Train:
 
                 if args.device_augment:
                     # specs -> images on device (mosaic/warp/HSV/mixup as
-                    # XLA ops; host only decoded + did label math)
-                    from ryolo_tpu.data.device_augment import render_specs
+                    # XLA ops; host only decoded + did label math; with
+                    # --device_cache not even pixels ship — tiles gather
+                    # from the resident bank)
+                    from ryolo_tpu.data.device_augment import render_batch
 
                     sa = {k: jnp.asarray(v) for k, v in batch.items()
                           if k != "paths"}
-                    images = render_specs(
-                        sa["spec_tiles"], sa["spec_region"],
-                        sa["spec_offset"], sa["spec_hsv"], sa["spec_minv"],
-                        sa["spec_flip"], sa["spec_mix_idx"],
-                        sa["spec_mix_r"], n_out=args.batch_size)
+                    images = render_batch(sa, n_out=args.batch_size,
+                                          bank=tile_bank)
                     batch = {"images": images, "tgt": sa["tgt"],
                              "tgt_mask": sa["tgt_mask"]}
                     if "tgt_csl" in sa:
@@ -343,6 +355,10 @@ def build_parser():
                              "does decode + label math only)")
     parser.add_argument("--cache_images", action="store_true",
                         help="cache decoded resized images in host RAM")
+    parser.add_argument("--device_cache", action="store_true",
+                        help="with --device_augment: pin the decoded train "
+                             "split to device HBM (N x s x s x 3 uint8) so "
+                             "batches ship only bank indices, no pixels")
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel mesh size (devices)")
     parser.add_argument("--sp", type=int, default=1,
