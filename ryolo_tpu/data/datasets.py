@@ -505,18 +505,24 @@ class BaseDataset:
             targets = np.concatenate(labels, 0)
             yc, xc = [int(rng.uniform(0, s)) for _ in self.mosaic_border]
             # the host pipeline warps the CROPPED canvas: content outside
-            # the crop window becomes border — clip ownership to match
-            region[:, 0] = np.clip(region[:, 0], xc, xc + 2 * s)
-            region[:, 1] = np.clip(region[:, 1], yc, yc + 2 * s)
-            region[:, 2] = np.clip(region[:, 2], xc, xc + 2 * s)
-            region[:, 3] = np.clip(region[:, 3], yc, yc + 2 * s)
+            # the crop window becomes border — clip ownership to match.
+            # The crop folds into region/offset (NOT minv), so spec canvas
+            # coordinates are always [0, 2s)^2 regardless of mosaic mode —
+            # pure algebra shift, identical taps; it also lets the
+            # separable renderer materialize a fixed-size canvas.
+            region[:, 0] = np.clip(region[:, 0], xc, xc + 2 * s) - xc
+            region[:, 1] = np.clip(region[:, 1], yc, yc + 2 * s) - yc
+            region[:, 2] = np.clip(region[:, 2], xc, xc + 2 * s) - xc
+            region[:, 3] = np.clip(region[:, 3], yc, yc + 2 * s) - yc
+            offset[:, 0] -= xc
+            offset[:, 1] -= yc
             targets = filter_by_center(targets,
                                        (xc, xc + 2 * s, yc, yc + 2 * s))
             if len(targets):
                 targets = targets.copy()
                 targets[:, 1::2] -= xc
                 targets[:, 2::2] -= yc
-            crop = (float(xc), float(yc))
+            crop = (0.0, 0.0)
         return tiles, tile_idx, region, offset, hsv, crop, targets
 
     @staticmethod

@@ -9,12 +9,19 @@ normalize — runs as ONE batched jitted program on device.
 
 The key re-design: the reference materializes a 2s×2s (mosaic-4) or 3s×3s
 (mosaic-9) canvas and then warps it down to s×s
-(``base_dataset.py:240-340`` then ``lib/augmentations.py:42-74``).  Here
-the canvas never exists: for every output pixel the inverse affine gives a
-canvas coordinate, each of its 4 bilinear taps resolves which tile owns
-that canvas cell (mosaic paste order = last write wins) and gathers the
-source pixel directly — one fused gather per output image, O(s²) work
-instead of O((3s)²) canvas traffic.
+(``base_dataset.py:240-340`` then ``lib/augmentations.py:42-74``).  The
+default ("taps") renderer never builds that canvas: for every output pixel
+the inverse affine gives a canvas coordinate, each of its 4 bilinear taps
+resolves which tile owns that canvas cell (mosaic paste order = last write
+wins) and gathers the source pixel directly.  Its cost floor is the XLA
+TPU gather engine (~0.75 GB/s of gathered bytes measured, independent of
+locality), and 4 × 3-byte taps per output pixel is byte-minimal for exact
+bilinear — ~200 ms for a 12-spec batch at 800px.  The alternative
+"canvas" renderer (bit-identical; see the section comment below)
+materializes the canvas with cheap row-granular gathers and fetches all
+four taps in ONE packed uint32x4 gather — measurably the same speed
+(byte-bound), but it is the substrate a Pallas warp kernel (matmul-based
+resampling, no gather) would plug into.
 
 Host-side spec construction lives in
 :meth:`ryolo_tpu.data.datasets.BaseDataset.get_render_spec`, which draws
@@ -202,9 +209,171 @@ def _render_one(tile_rows, slot_rows, region, offset, hsv, minv,
     return jnp.round(out)
 
 
-@functools.partial(jax.jit, static_argnames=("n_out",))
+# ---------------------------------------------------------------------------
+# Canvas + packed-block renderer (bit-identical alternative)
+# ---------------------------------------------------------------------------
+#
+# The tap renderer above pays FOUR per-pixel gathers (one per bilinear
+# tap).  This path restructures the same computation so only ONE
+# per-pixel gather remains, bit-identically.  Measured on TPU the two are
+# the same speed (~200 ms for a 12-spec 800px batch): the gather engine
+# is BYTE-bound (~0.75 GB/s of gathered bytes), and one 16-byte packed
+# row costs what four 3-byte rows do.  It is kept because the
+# canvas-materialization machinery (row-granular shifts + ownership fold
+# + owner-select HSV) is the substrate for a future Pallas matmul-based
+# warp kernel, which is the only route below the gather floor:
+#
+#   1. materialize the mosaic canvas (the very array the host pipeline
+#      builds, ``base_dataset.py:240-340``) with two axis-shift row
+#      gathers (per-(slot, line) contiguous indices — the cheap gather
+#      kind), an ascending-slot ownership fold, and the per-tile HSV
+#      jitter through an owner-id select.  A canvas cell equals what the
+#      tap renderer's owner-resolution + tile gather + HSV produces for
+#      that cell, so everything downstream is exact.
+#   2. pack each cell's 2x2 neighbourhood into one (4,) uint32 row
+#      (RGB per pixel in the low 24 bits); the four bilinear taps of an
+#      output pixel then arrive in ONE {1,4}-uint32 gather instead of
+#      four {1,3}-uint8 ones.
+#
+# Large-slice tricks do NOT work instead: gathers with long slices and a
+# vmapped dynamic_slice both lower to a sequential per-line loop on this
+# backend (~7 us/line — measured slower than the per-pixel gather).
+
+_PAD_U8 = int(PAD)
+
+
+def _canvas_one(tile_rows, slot_rows, region, offset, hsv, out_size: int):
+    """One spec -> (C, C, 3) uint8 canvas, C = 2s + 2 (1-cell PAD ring).
+
+    Buffer index b maps to canvas cell q = b - 1; cells outside every
+    region hold PAD, exactly like the unowned taps of the 4-tap path.
+    """
+    s = out_size
+    T = region.shape[0]
+    C = 2 * s + 2
+    flat = tile_rows.reshape(-1, s, 3)  # rows of s pixels
+
+    offx = offset[:, 0].astype(jnp.int32)
+    offy = offset[:, 1].astype(jnp.int32)
+
+    # vertical shift: R[k, by] = tile_k[by - 1 - offy_k]  (row gather)
+    by = jnp.arange(C, dtype=jnp.int32)[None, :]          # (1, C)
+    rowidx = slot_rows[:, None] * s + jnp.clip(by - 1 - offy[:, None],
+                                               0, s - 1)
+    R = jnp.take(flat, rowidx.reshape(-1), axis=0).reshape(T, C, s, 3)
+
+    # horizontal shift on the transposed rows: R2[k, bx, by]
+    RT = R.transpose(0, 2, 1, 3).reshape(T * s, C, 3)     # (T*s, C_y, 3)
+    colidx = (jnp.arange(T, dtype=jnp.int32)[:, None] * s
+              + jnp.clip(by - 1 - offx[:, None], 0, s - 1))
+    R2 = jnp.take(RT, colidx.reshape(-1), axis=0).reshape(T, C, C, 3)
+    # R2[k, bx, by] = tile_k[by-1-offy, bx-1-offx]
+
+    # ownership fold (ascending slot = paste order) + owner ids
+    qx = jax.lax.broadcasted_iota(jnp.float32, (C, C), 0) - 1.0  # cell x
+    qy = jax.lax.broadcasted_iota(jnp.float32, (C, C), 1) - 1.0  # cell y
+    cvT = jnp.full((C, C, 3), _PAD_U8, jnp.uint8)
+    own = jnp.full((C, C), T, jnp.int32)
+    for k in range(T):
+        inside = ((qx >= region[k, 0]) & (qx < region[k, 2])
+                  & (qy >= region[k, 1]) & (qy < region[k, 3]))
+        cvT = jnp.where(inside[..., None], R2[k], cvT)
+        own = jnp.where(inside, k, own)
+
+    # per-tile HSV through the owner id (selects, not gathers)
+    g = jnp.ones((C, C, 3), jnp.float32)
+    for k in range(T):
+        g = jnp.where((own == k)[..., None], hsv[k], g)
+    col = cvT.astype(jnp.float32)
+    ident = jnp.all(g == 1.0, axis=-1, keepdims=True)
+    col = jnp.where(ident, col, hsv_jitter(col, g))
+    # transpose (bx, by) -> (by, bx): standard (row=y, col=x) canvas
+    return jnp.round(col).astype(jnp.uint8).transpose(1, 0, 2)
+
+
+def _pack_blocks(canvas):
+    """(C, C, 3) uint8 canvas -> (C*C, 4) uint32 2x2-block table.
+
+    Row (y*C + x) holds the packed RGB (low 24 bits) of cells (y, x),
+    (y, x+1), (y+1, x), (y+1, x+1); the +1 neighbours at the outer edge
+    read the PAD value (one extra PAD row/col — those cells are the ring
+    anyway, and per-tap validity masks handle everything further out).
+    """
+    C = canvas.shape[0]
+    cp = jnp.pad(canvas, ((0, 1), (0, 1), (0, 0)),
+                 constant_values=_PAD_U8).astype(jnp.uint32)
+    packed = cp[..., 0] | (cp[..., 1] << 8) | (cp[..., 2] << 16)  # (C+1,C+1)
+    blocks = jnp.stack(
+        [packed[:C, :C], packed[:C, 1:], packed[1:, :C], packed[1:, 1:]],
+        axis=-1,
+    )
+    return blocks.reshape(C * C, 4)
+
+
+def _unpack_rgb(word):
+    """uint32 word -> (..., 3) float32 RGB."""
+    return jnp.stack(
+        [(word & 0xFF).astype(jnp.float32),
+         ((word >> 8) & 0xFF).astype(jnp.float32),
+         ((word >> 16) & 0xFF).astype(jnp.float32)],
+        axis=-1,
+    )
+
+
+def _warp_block(canvas, minv, out_size: int):
+    """Affine bilinear warp of the canvas — ONE gather per output pixel.
+
+    Bit-identical to four independent taps: the gathered uint32 quad IS
+    the four tap values, and out-of-buffer taps substitute PAD through
+    explicit validity masks (matching the tap renderer's unowned-tap
+    semantics, since every in-buffer non-content cell already holds PAD).
+    """
+    s = out_size
+    C = canvas.shape[0]
+    table = _pack_blocks(canvas)
+
+    ox = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    oy = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    cx = minv[0, 0] * ox + minv[0, 1] * oy + minv[0, 2]
+    cy = minv[1, 0] * ox + minv[1, 1] * oy + minv[1, 2]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+
+    bx = jnp.clip(x0.astype(jnp.int32) + 1, 0, C - 1)     # buffer coords
+    by = jnp.clip(y0.astype(jnp.int32) + 1, 0, C - 1)
+    quad = jnp.take(table, by * C + bx, axis=0)           # (s, s, 4) u32
+
+    # If the block index did not clip, all four quad entries ARE the four
+    # tap cells (ring/pad cells included, which hold PAD like unowned
+    # taps).  If it did clip, every true tap lies at cell <= -1 or
+    # >= 2s+1, where the tap renderer yields PAD — so one mask suffices.
+    ok = ((x0 >= -1.0) & (x0 <= C - 2.0)
+          & (y0 >= -1.0) & (y0 <= C - 2.0))
+
+    c00 = _unpack_rgb(quad[..., 0])
+    c01 = _unpack_rgb(quad[..., 1])
+    c10 = _unpack_rgb(quad[..., 2])
+    c11 = _unpack_rgb(quad[..., 3])
+    out = (c00 * ((1 - fx) * (1 - fy))[..., None]
+           + c01 * (fx * (1 - fy))[..., None]
+           + c10 * ((1 - fx) * fy)[..., None]
+           + c11 * (fx * fy)[..., None])
+    out = jnp.where(ok[..., None], out, PAD)
+    return jnp.round(out)
+
+
+def _render_one_canvas(tile_rows, slot_rows, region, offset, hsv, minv,
+                       out_size: int):
+    canvas = _canvas_one(tile_rows, slot_rows, region, offset, hsv,
+                         out_size)
+    return _warp_block(canvas, minv, out_size)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "method"))
 def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
-                 n_out: int):
+                 n_out: int, method: str = "taps"):
     """Render a batch of specs -> (n_out, s, s, 3) float32 RGB in [0, 1].
 
     Spec slots ≥ ``n_out`` are mixup partners only.  See module docstring
@@ -213,15 +382,17 @@ def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
     s = tiles.shape[2]
     T = tiles.shape[1]
     rows = jnp.arange(T, dtype=jnp.int32)
+    fn = _render_one_canvas if method == "canvas" else _render_one
     imgs = jax.vmap(
-        lambda t, r, o, g, m: _render_one(t, rows, r, o, g, m, s)
+        lambda t, r, o, g, m: fn(t, rows, r, o, g, m, s)
     )(tiles, region, offset, hsv, minv)          # (B, s, s, 3) in [0,255]
     return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
 
 
-@functools.partial(jax.jit, static_argnames=("n_out",))
+@functools.partial(jax.jit, static_argnames=("n_out", "method"))
 def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
-                        mix_idx, mix_r, n_out: int):
+                        mix_idx, mix_r, n_out: int,
+                        method: str = "taps"):
     """:func:`render_specs` gathering tiles from a device-RESIDENT bank.
 
     ``bank`` is the whole decoded dataset — (N, s, s, 3) uint8 RGB, each
@@ -231,22 +402,27 @@ def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
     traffic drops from the (B, T, s, s, 3) tile pixels (~140 MB at 800px
     B=8) to a few KB of spec scalars, which is what makes device-side
     augmentation a win even on low-bandwidth (tunnel-attached) hosts.
-    Outputs are bit-identical to :func:`render_specs` on the same specs:
-    both paths run the same gather, only the source rows differ.
+    Outputs are bit-identical to :func:`render_specs` on the same specs
+    and ``method``: both paths run the same program, only the source rows
+    differ.
     """
     s = bank.shape[1]
+    fn = _render_one_canvas if method == "canvas" else _render_one
     imgs = jax.vmap(
-        lambda ti, r, o, g, m: _render_one(bank, ti, r, o, g, m, s)
+        lambda ti, r, o, g, m: fn(bank, ti, r, o, g, m, s)
     )(tile_idx, region, offset, hsv, minv)
     return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
 
 
-def render_batch(arrays, n_out: int, bank=None):
+def render_batch(arrays, n_out: int, bank=None, method: str = "taps"):
     """Dispatch a loader spec batch (dict of jax arrays) to the renderer.
 
     Banked batches carry ``spec_tile_idx`` (needs ``bank``); pixel batches
     carry ``spec_tiles`` (the bank-overflow fallback emits these even when
-    the loader runs in device-cache mode).
+    the loader runs in device-cache mode).  ``method``: "canvas" (the
+    production canvas + packed-block path) or "taps" (the 4-tap reference
+    implementation) — the two are bit-identical; "taps" exists as the
+    plainly-readable semantics spec and for differential testing.
     """
     common = (arrays["spec_region"], arrays["spec_offset"],
               arrays["spec_hsv"], arrays["spec_minv"], arrays["spec_flip"],
@@ -255,8 +431,9 @@ def render_batch(arrays, n_out: int, bank=None):
         if bank is None:
             raise ValueError("banked spec batch needs the uploaded tile bank")
         return render_specs_banked(bank, arrays["spec_tile_idx"], *common,
-                                   n_out=n_out)
-    return render_specs(arrays["spec_tiles"], *common, n_out=n_out)
+                                   n_out=n_out, method=method)
+    return render_specs(arrays["spec_tiles"], *common, n_out=n_out,
+                        method=method)
 
 
 def _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out: int):

@@ -220,6 +220,35 @@ def test_banked_overflow_falls_back_to_pixels(synth):
     np.testing.assert_allclose(bb["tgt"], pb["tgt"], rtol=0, atol=0)
 
 
+def test_canvas_renderer_matches_taps_exactly(synth):
+    """The canvas + packed-block renderer must reproduce the 4-tap
+    reference renderer EXACTLY per spec (same integer tap values, same
+    f32 lerp): eager per-spec comparison over mosaic4/9, letterbox and
+    mixup-partner specs."""
+    import jax.numpy as jnp
+
+    import ryolo_tpu.data.device_augment as da
+
+    ds = _dataset(synth)
+    rows = np.arange(9, dtype=np.int32)
+    n_specs = 0
+    for seed in (1, 2, 3):
+        for index in range(0, 6, 2):
+            _, specs, _, _, _ = ds.get_render_spec(index, _rng(seed, index))
+            for sp in specs:
+                a = {k: jnp.asarray(sp[k]) for k in
+                     ("tiles", "region", "offset", "hsv", "minv")}
+                taps = np.asarray(da._render_one(
+                    a["tiles"], jnp.asarray(rows), a["region"],
+                    a["offset"], a["hsv"], a["minv"], 96))
+                canv = np.asarray(da._render_one_canvas(
+                    a["tiles"], jnp.asarray(rows), a["region"],
+                    a["offset"], a["hsv"], a["minv"], 96))
+                np.testing.assert_array_equal(taps, canv)
+                n_specs += 1
+    assert n_specs >= 9
+
+
 def test_device_cache_requires_device_augment(synth):
     from ryolo_tpu.data.loader import DataLoader
 
