@@ -438,7 +438,9 @@ def bench_train(img: int, batch: int, iters: int = 12,
     # --- loader-fed with DEVICE-SIDE augmentation + decoded-image cache:
     # the host emits render specs (decode + label math only); mosaic/warp/
     # HSV/mixup composite on device (ryolo_tpu/data/device_augment.py)
-    from ryolo_tpu.data.device_augment import render_batch
+    from ryolo_tpu.data.device_augment import pick_method, render_batch
+
+    render_method = pick_method(hyp, img)
 
     def run_epochs(dloader, bank, n_epochs, first_epoch):
         nonlocal state
@@ -449,7 +451,8 @@ def bench_train(img: int, batch: int, iters: int = 12,
             for b in dloader:
                 sa = {k: jnp.asarray(np.asarray(v))
                       for k, v in b.items() if k != "paths"}
-                images = render_batch(sa, n_out=batch, bank=bank)
+                images = render_batch(sa, n_out=batch, bank=bank,
+                                      method=render_method)
                 arrays = {"images": images, "tgt": sa["tgt"],
                           "tgt_csl": sa["tgt_csl"],
                           "tgt_mask": sa["tgt_mask"]}

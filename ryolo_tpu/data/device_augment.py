@@ -371,6 +371,22 @@ def _render_one_canvas(tile_rows, slot_rows, region, offset, hsv, minv,
     return _warp_block(canvas, minv, out_size)
 
 
+def _render_pallas(canvas_fn, minv, out_size: int):
+    """Batch renderer for method="pallas": XLA canvases + MXU warp kernel.
+
+    ``canvas_fn`` maps a spec index axis to (B, C, C, 3) uint8 canvases
+    (the exact `_canvas_one` output); the warp stage then runs as the
+    Pallas one-hot-matmul kernel (`ryolo_tpu.ops.pallas_warp`) instead of
+    `_warp_block`'s per-pixel gather — ~3x below the TPU gather floor.
+    Output matches the gather renderers within 1 unit on <0.01% of pixels
+    (FMA-contraction ULPs at rounding boundaries; tests/test_pallas_warp.py).
+    """
+    from ryolo_tpu.ops.pallas_warp import warp_canvas_batch
+
+    canvases = canvas_fn()
+    return warp_canvas_batch(canvases, minv, out_size)
+
+
 @functools.partial(jax.jit, static_argnames=("n_out", "method"))
 def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
                  n_out: int, method: str = "taps"):
@@ -382,10 +398,17 @@ def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
     s = tiles.shape[2]
     T = tiles.shape[1]
     rows = jnp.arange(T, dtype=jnp.int32)
-    fn = _render_one_canvas if method == "canvas" else _render_one
-    imgs = jax.vmap(
-        lambda t, r, o, g, m: fn(t, rows, r, o, g, m, s)
-    )(tiles, region, offset, hsv, minv)          # (B, s, s, 3) in [0,255]
+    if method == "pallas":
+        imgs = _render_pallas(
+            lambda: jax.vmap(
+                lambda t, r, o, g: _canvas_one(t, rows, r, o, g, s)
+            )(tiles, region, offset, hsv),
+            minv, s)
+    else:
+        fn = _render_one_canvas if method == "canvas" else _render_one
+        imgs = jax.vmap(
+            lambda t, r, o, g, m: fn(t, rows, r, o, g, m, s)
+        )(tiles, region, offset, hsv, minv)      # (B, s, s, 3) in [0,255]
     return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
 
 
@@ -407,11 +430,34 @@ def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
     differ.
     """
     s = bank.shape[1]
-    fn = _render_one_canvas if method == "canvas" else _render_one
-    imgs = jax.vmap(
-        lambda ti, r, o, g, m: fn(bank, ti, r, o, g, m, s)
-    )(tile_idx, region, offset, hsv, minv)
+    if method == "pallas":
+        imgs = _render_pallas(
+            lambda: jax.vmap(
+                lambda ti, r, o, g: _canvas_one(bank, ti, r, o, g, s)
+            )(tile_idx, region, offset, hsv),
+            minv, s)
+    else:
+        fn = _render_one_canvas if method == "canvas" else _render_one
+        imgs = jax.vmap(
+            lambda ti, r, o, g, m: fn(bank, ti, r, o, g, m, s)
+        )(tile_idx, region, offset, hsv, minv)
     return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
+
+
+def pick_method(hyp, out_size: int) -> str:
+    """Production renderer selection for a training run.
+
+    The Pallas MXU warp (`ryolo_tpu.ops.pallas_warp`) replaces the
+    byte-bound per-pixel warp gather whenever the hyp's worst-case warp
+    derivative fits its static 128-cell patch window (true for the
+    reference defaults: scale 0.5 -> sqrt(2)/0.5 = 2.83 <= ~4) and the
+    backend is a TPU; otherwise the canvas gather renderer runs.
+    """
+    from ryolo_tpu.ops.pallas_warp import fits_hyp
+
+    if jax.default_backend() == "tpu" and fits_hyp(hyp, out_size):
+        return "pallas"
+    return "canvas"
 
 
 def render_batch(arrays, n_out: int, bank=None, method: str = "taps"):

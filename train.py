@@ -225,12 +225,15 @@ class Train:
                     # XLA ops; host only decoded + did label math; with
                     # --device_cache not even pixels ship — tiles gather
                     # from the resident bank)
-                    from ryolo_tpu.data.device_augment import render_batch
+                    from ryolo_tpu.data.device_augment import (pick_method,
+                                                               render_batch)
 
                     sa = {k: jnp.asarray(v) for k, v in batch.items()
                           if k != "paths"}
                     images = render_batch(sa, n_out=args.batch_size,
-                                          bank=tile_bank)
+                                          bank=tile_bank,
+                                          method=pick_method(hyp_cfg,
+                                                             args.img_size))
                     batch = {"images": images, "tgt": sa["tgt"],
                              "tgt_mask": sa["tgt_mask"]}
                     if "tgt_csl" in sa:
