@@ -143,6 +143,38 @@ def time_loop(fn, args_list, iters):
     return time.perf_counter() - t0
 
 
+def expand_batches(batches, iters, key0: int = 0, fmt=None):
+    """Expand arg-tuples to ``iters`` device-perturbed unique copies.
+
+    The axon tunnel DEDUPS repeat executions of an identical
+    (executable, inputs) pair — a timing loop that cycles a small pool of
+    pre-uploaded batches re-measures only the first pass and reports
+    near-zero for the rest.  Each copy here gets unique content (+k*1e-7
+    for floats, +k%5 for integer images) via a tiny on-device add, so
+    every timed execution is real work.  Perturbed copies are re-put to
+    ``fmt`` when the consumer was compiled with a custom input layout.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def bump(x, k):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x + (k * 1e-7).astype(x.dtype)
+        return x + (k % 5).astype(x.dtype)
+
+    out = []
+    for i in range(iters):
+        src = batches[i % len(batches)]
+        k = jnp.float32(key0 + i + 1)
+        tup = tuple(bump(x, k) for x in src)
+        if fmt is not None:
+            tup = tuple(jax.device_put(x, fmt) for x in tup)
+        out.append(tup)
+    jax.block_until_ready(out)
+    return out
+
+
 def rand_batches(n, batch, img, packed: bool = False, fmt=None,
                  dtype=None):
     import jax
@@ -326,7 +358,9 @@ def bench_nms(n_valid: int, iters: int = 16):
         )(boxes, scores)
 
     jax.block_until_ready(run(boxes, scores))
-    dt = time_loop(run, [(boxes, scores)], iters)
+    # unique inputs per iter (axon dedup); a constant score shift keeps
+    # the descending presort, the box shift is ~1e-5 px
+    dt = time_loop(run, expand_batches([(boxes, scores)], iters), iters)
     return dt / iters / BATCH * 1e3
 
 
@@ -602,7 +636,8 @@ def main():
         for name, fn in [("forward", fwd_only), ("fwd_decode", fwd_decode),
                          ("full_detect", full)]:
             jax.block_until_ready(fn(*batches[0]))
-            dt = time_loop(fn, batches, args.iters)
+            dt = time_loop(fn, expand_batches(batches, args.iters),
+                           args.iters)
             out[name + "_ms_batch"] = round(dt / args.iters * 1e3, 2)
         print(json.dumps(out))
         return
@@ -622,8 +657,16 @@ def main():
 
     # best of 3 rounds: the remote-tunnel dispatch adds multi-percent
     # run-to-run noise; the fastest round is the least-perturbed measure
-    # of the device program (each round is still `iters` full steps)
-    dt = min(time_loop(detect_step, batches, args.iters) for _ in range(3))
+    # of the device program (each round is still `iters` full steps).
+    # Every round gets its own device-perturbed unique inputs — the axon
+    # tunnel dedups repeat executions of identical (program, inputs).
+    dt = min(
+        time_loop(detect_step,
+                  expand_batches(batches, args.iters, key0=r * args.iters,
+                                 fmt=detect_step.input_format),
+                  args.iters)
+        for r in range(3)
+    )
     ips = BATCH * args.iters / dt
 
     # batch-1 latency (the reference's per-image timing contract,
@@ -636,9 +679,10 @@ def main():
                       dtype=detect_b1.input_dtype)
     jax.block_until_ready(detect_b1(*b1[0]))
     lat_iters = 16
+    b1x = expand_batches(b1, lat_iters, fmt=detect_b1.input_format)
     t0 = time.perf_counter()
     for i in range(lat_iters):  # serialized: true latency, no pipelining
-        jax.block_until_ready(detect_b1(*b1[i % len(b1)]))
+        jax.block_until_ready(detect_b1(*b1x[i]))
     lat_ms = (time.perf_counter() - t0) / lat_iters * 1e3
 
     # device-side b1 latency from a profiler trace (the wall number above
@@ -648,9 +692,10 @@ def main():
         import tempfile
 
         trace_dir = tempfile.mkdtemp(prefix="bench_b1_trace_")
+        b1t = expand_batches(b1, 4, key0=1000, fmt=detect_b1.input_format)
         with jax.profiler.trace(trace_dir):
             for i in range(4):
-                jax.block_until_ready(detect_b1(*b1[i % len(b1)]))
+                jax.block_until_ready(detect_b1(*b1t[i]))
         lat_dev_ms = device_ms_from_trace(trace_dir, steps=4)
     except Exception as e:  # noqa: BLE001
         print(f"# b1 device-latency trace failed: {e!r}")

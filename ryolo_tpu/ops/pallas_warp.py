@@ -4,32 +4,39 @@ The device-side augmentation renderer's last stage warps the materialized
 mosaic canvas down to the output image (the device equivalent of
 ``cv2.warpAffine`` in the reference's ``lib/augmentations.py:42-74``).  As
 an XLA program that warp is a per-pixel gather, and the TPU gather engine
-is byte-bound at ~0.75 GB/s of gathered bytes regardless of locality
-(measured; see ROUND3.md "Renderer gather-floor investigation") — ~165 ms
-for a 12-spec 800px batch.  This kernel goes below that floor by never
-gathering:
+is byte-bound regardless of locality (measured ~216 ms for a 12-spec
+800px banked batch; see ROUND3.md "Renderer gather-floor investigation").
+This kernel goes below that floor by never gathering:
 
   * the output image is processed in 32x32 tiles; an affine map with
-    bounded derivative sends each tile into a <=128-wide window of the
-    canvas, so ONE dynamic async DMA stages a (3, 128, 128) uint8 patch
-    from HBM into VMEM per tile;
+    bounded derivative sends each tile into a <=96-cell window of the
+    canvas, so ONE dynamic async DMA stages a (3, 128, 256) uint8 patch
+    from HBM into VMEM per tile.  Mosaic DMAs of tiled HBM memrefs need
+    tile-aligned offsets, so the patch origin is rounded down to the
+    (sublane, lane) tiling — 32 in x (int8 packs 4 sublanes of 8), 128
+    in y — and the window carries the span plus the alignment slack;
   * per-pixel bilinear taps become one-hot row-selection MATMULS on the
-    MXU: ``patch(x,y) @ onehot(y_tap)(y,pixel)`` fetches a whole
-    x-window of each pixel's two source rows (2 taps x 3 channels = six
-    128x128x1024 bf16 matmuls per tile, ~6 MXU cycles/pixel), and the
-    x-taps reduce out on the VPU through {0,1} masks.
+    MXU.  The 3 channels stack on the patch's x axis and both y-taps
+    ride the SAME matmul through an exact fixed-point packing:
+    ``patch(3*x, y) @ (onehot(y0) + 1024*onehot(y1))`` accumulates
+    ``v0 + 1024*v1`` (pixel values <=255 < 1024, sum < 2^18, exact in
+    f32) — ONE 384x256x1024 bf16 matmul per tile.  The two x-taps
+    reduce out on the VPU through {0,1} masks before a single exact
+    divmod-by-1024 unpack.
 
-Exactness: one-hot bf16 weights are exactly {0, 1} and uint8 pixel values
-are exact in bf16, so every tap value reaches f32 exactly; tap weights and
-the final blend use the same f32 expressions and association as the XLA
-renderer.  The kernel output is BIT-IDENTICAL to
+Exactness: one-hot bf16 weights are exactly {0, 1, 1024} and uint8 pixel
+values are exact in bf16, so every tap value reaches f32 exactly; tap
+weights and the final blend use the same f32 expressions and association
+as the XLA renderer.  The kernel output matches
 ``device_augment._warp_block`` (pinned by ``tests/test_pallas_warp.py``).
 
-Derivative bound: each |row|_1 of the output->canvas affine must be <= 4
-(window 31*4 + 3 <= 128).  The spec builder draws scale >= 1 - hyp.scale
-and any rotation, giving sqrt(2)/(1-scale) <= 2.83 at the reference's
-default hyp (scale 0.5, ``data/hyp.yaml``); :func:`fits_pallas_warp` lets
-callers pre-check arbitrary specs.
+Derivative bound: each |row|_1 of the output->canvas affine must be <=
+(SPAN-2)/(TILE-1) ~= 3.03 so a tile's taps span at most SPAN=96 canvas
+cells.  The spec builder draws scale >= 1 - hyp.scale and any rotation,
+giving sqrt(2)/(1-scale) <= 2.83 at the reference's default hyp (scale
+0.5, ``data/hyp.yaml``); :func:`fits_pallas_warp` lets callers pre-check
+arbitrary specs, and :func:`pick_method` falls back to the gather
+renderer for hyps that do not fit.
 """
 
 from __future__ import annotations
@@ -43,15 +50,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 32            # output tile edge (s must be a multiple)
-_PW = 128            # canvas patch window edge (x and y)
+_SPAN = 96           # max canvas cells a tile's taps may span per axis
+_AX = 32             # x (sublane) DMA alignment for int8 (8 sublanes x 4 pack)
+_AY = 128            # y (lane) DMA alignment
+_PWX = _SPAN + _AX   # patch window, x (128)
+_PWY = _SPAN + 160   # patch window, y (256: span + lane alignment, rounded
+#                      up to the next 128 multiple so the DMA size tiles)
 _P = TILE * TILE     # pixels per tile
-MAX_ROW_NORM = (_PW - 3.0) / (TILE - 1.0)  # |minv row|_1 bound (~4.03)
+MAX_ROW_NORM = (_SPAN - 2.0) / (TILE - 1.0)  # |minv row|_1 bound (~3.03)
 _PAD = 114.0         # reference border value (device_augment.PAD)
 
 
-def _warp_kernel(minv_ref, buf_ref, out_ref, patch_ref, sem, *, s: int):
+def _warp_kernel(minv_ref, buf_ref, out_ref, patch_ref, sem,
+                 *, s: int, xb: int, yb: int):
     cbuf = 2 * s + 2                     # canvas buffer dim (pre-pad)
-    cp = cbuf + 1                        # padded buffer dim
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -64,32 +76,37 @@ def _warp_kernel(minv_ref, buf_ref, out_ref, patch_ref, sem, *, s: int):
     m5 = minv_ref[b, 5]
 
     # patch origin: canvas-buffer coords of the tile's min tap, from the
-    # affine evaluated at the 4 tile corners (extrema of a linear map)
+    # affine evaluated at the 4 tile corners (extrema of a linear map),
+    # rounded down to the int8 memref tiling so the DMA slice is provably
+    # tile-aligned (the buffer is end-padded past cbuf+1+window, so the
+    # clip never truncates a window that holds valid taps)
     xl = (j * TILE).astype(jnp.float32)
     xr = xl + float(TILE - 1)
     yt = (i * TILE).astype(jnp.float32)
-    yb = yt + float(TILE - 1)
+    yb_ = yt + float(TILE - 1)
     cx_min = jnp.minimum(
         jnp.minimum(m0 * xl + m1 * yt, m0 * xr + m1 * yt),
-        jnp.minimum(m0 * xl + m1 * yb, m0 * xr + m1 * yb),
+        jnp.minimum(m0 * xl + m1 * yb_, m0 * xr + m1 * yb_),
     ) + m2
     cy_min = jnp.minimum(
         jnp.minimum(m3 * xl + m4 * yt, m3 * xr + m4 * yt),
-        jnp.minimum(m3 * xl + m4 * yb, m3 * xr + m4 * yb),
+        jnp.minimum(m3 * xl + m4 * yb_, m3 * xr + m4 * yb_),
     ) + m5
-    ox = jnp.clip(jnp.floor(cx_min).astype(jnp.int32) + 1, 0, cp - _PW)
-    oy = jnp.clip(jnp.floor(cy_min).astype(jnp.int32) + 1, 0, cp - _PW)
+    ox = jnp.clip(jnp.floor(cx_min).astype(jnp.int32) + 1, 0, xb - _PWX)
+    oy = jnp.clip(jnp.floor(cy_min).astype(jnp.int32) + 1, 0, yb - _PWY)
+    ox = pl.multiple_of((ox // _AX) * _AX, _AX)
+    oy = pl.multiple_of((oy // _AY) * _AY, _AY)
 
     dma = pltpu.make_async_copy(
-        buf_ref.at[b, :, pl.ds(ox, _PW), pl.ds(oy, _PW)],
+        buf_ref.at[b, :, pl.ds(ox, _PWX), pl.ds(oy, _PWY)],
         patch_ref,
         sem,
     )
     dma.start()
-    dma.wait()
 
     # per-pixel canvas coords, lane-major (pixel index on lanes): the very
     # expressions of device_augment._warp_block, so fx/fy/ok match in f32
+    # (built while the patch DMA is in flight)
     p = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
     px = (j * TILE + p % TILE).astype(jnp.float32)
     py = (i * TILE + p // TILE).astype(jnp.float32)
@@ -102,31 +119,44 @@ def _warp_kernel(minv_ref, buf_ref, out_ref, patch_ref, sem, *, s: int):
     ok = ((xf >= -1.0) & (xf <= cbuf - 2.0)
           & (yf >= -1.0) & (yf <= cbuf - 2.0))
     # window indices of tap 0 (clip keeps the i32 cast defined for far
-    # out-of-canvas pixels; any index outside [0, _PW) yields an all-zero
-    # one-hot and the pixel is PAD-masked through `ok`)
+    # out-of-canvas pixels; any index outside the window yields an
+    # all-zero one-hot and the pixel is PAD-masked through `ok`)
     rx = jnp.clip(xf, -2.0, float(cbuf)).astype(jnp.int32) + 1 - ox
     ry = jnp.clip(yf, -2.0, float(cbuf)).astype(jnp.int32) + 1 - oy
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (_PW, _P), 0)
-    ohy0 = (sub == ry).astype(jnp.bfloat16)      # (PW_y, P)
-    ohy1 = (sub == ry + 1).astype(jnp.bfloat16)
-    ohx0 = (sub == rx).astype(jnp.float32)       # (PW_x, P)
-    ohx1 = (sub == rx + 1).astype(jnp.float32)
+    # both y-taps in one matmul operand: entries in {0, 1, 1024} (exact in
+    # bf16; ry+1 != ry so 1025 can't occur), accumulating v0 + 1024*v1
+    # exactly (v <= 255, sum < 2^18).  Built through f32: Mosaic can't
+    # relayout an i1 mask to the bf16 (16, 128) tiling for a bf16 select.
+    suby = jax.lax.broadcasted_iota(jnp.int32, (_PWY, _P), 0)
+    ohy = ((suby == ry).astype(jnp.float32)
+           + (suby == ry + 1).astype(jnp.float32) * 1024.0
+           ).astype(jnp.bfloat16)                        # (PW_y, P)
+    dx = jax.lax.broadcasted_iota(jnp.int32, (_PWX, _P), 0) - rx
 
     w00 = (1 - fx) * (1 - fy)
     w01 = fx * (1 - fy)
     w10 = (1 - fx) * fy
     w11 = fx * fy
 
+    dma.wait()
+    # Mosaic has no unsigned->float cast; hop through int32 (exact).  The
+    # 3 channels stack along x so ONE matmul serves the whole tile.
+    pc = (patch_ref[:].reshape(3 * _PWX, _PWY)
+          .astype(jnp.int32).astype(jnp.bfloat16))
+    r = jnp.dot(pc, ohy, preferred_element_type=jnp.float32)  # (3*PWX, P)
+    zero = jnp.zeros((), jnp.float32)
     for ch in range(3):
-        pc = patch_ref[ch].astype(jnp.bfloat16)  # (PW_x, PW_y)
-        r0 = jnp.dot(pc, ohy0, preferred_element_type=jnp.float32)
-        r1 = jnp.dot(pc, ohy1, preferred_element_type=jnp.float32)
-        c00 = jnp.sum(ohx0 * r0, axis=0, keepdims=True)
-        c01 = jnp.sum(ohx1 * r0, axis=0, keepdims=True)
-        c10 = jnp.sum(ohx0 * r1, axis=0, keepdims=True)
-        c11 = jnp.sum(ohx1 * r1, axis=0, keepdims=True)
-        out = c00 * w00 + c01 * w01 + c10 * w10 + c11 * w11
+        rc = r[ch * _PWX:(ch + 1) * _PWX]
+        c0 = jnp.sum(jnp.where(dx == 0, rc, zero), axis=0,
+                     keepdims=True)                    # v00 + 1024*v10
+        c1 = jnp.sum(jnp.where(dx == 1, rc, zero), axis=0,
+                     keepdims=True)                    # v01 + 1024*v11
+        v10 = jnp.floor(c0 * (1.0 / 1024.0))           # exact: c < 2^18
+        v00 = c0 - 1024.0 * v10
+        v11 = jnp.floor(c1 * (1.0 / 1024.0))
+        v01 = c1 - 1024.0 * v11
+        out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
         out = jnp.where(ok, out, _PAD)
         out_ref[0, 0, ch, :] = jnp.round(out)[0]
 
@@ -138,13 +168,13 @@ def fits_hyp(hyp, out_size: int) -> bool:
     so the worst-case |minv row|_1 over any rotation is sqrt(2)/(1-scale).
     """
     sc_min = 1.0 - float(hyp.get("scale", 0.5))
-    return (out_size % TILE == 0 and 2 * out_size + 3 >= _PW
+    return (out_size % TILE == 0
             and sc_min > 0 and float(np.sqrt(2.0)) / sc_min <= MAX_ROW_NORM)
 
 
 def fits_pallas_warp(minv, out_size: int) -> bool:
     """Host-side check that specs satisfy the kernel's static bounds."""
-    if out_size % TILE != 0 or 2 * out_size + 3 < _PW:
+    if out_size % TILE != 0:
         return False
     rows = np.abs(np.asarray(minv, np.float32)[..., :2]).sum(axis=-1)
     return bool((rows <= MAX_ROW_NORM).all())
@@ -153,26 +183,31 @@ def fits_pallas_warp(minv, out_size: int) -> bool:
 def warp_canvas_batch(canvases, minv, out_size: int, interpret=None):
     """Warp (B, C, C, 3) uint8 canvases (C = 2s+2) -> (B, s, s, 3) f32.
 
-    Bit-identical to ``device_augment._warp_block`` applied per spec
-    (values rounded to integers in [0, 255], PAD outside the canvas).
-    ``minv`` is (B, 2, 3) f32; rows must satisfy :func:`fits_pallas_warp`.
+    Matches ``device_augment._warp_block`` applied per spec (values
+    rounded to integers in [0, 255], PAD outside the canvas).  ``minv``
+    is (B, 2, 3) f32; rows must satisfy :func:`fits_pallas_warp`.
     """
     s = int(out_size)
     B, C = canvases.shape[0], canvases.shape[1]
     if C != 2 * s + 2:
         raise ValueError(f"canvas dim {C} != 2*{s}+2")
-    if s % TILE != 0 or C + 1 < _PW:
-        raise ValueError(f"out_size {s} unsupported (needs %{TILE}==0, >=64)")
+    if s % TILE != 0:
+        raise ValueError(f"out_size {s} unsupported (needs %{TILE}==0)")
     ny = nx = s // TILE
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    buf = jnp.pad(canvases, ((0, 0), (0, 1), (0, 1), (0, 0)),
+    # end-pad each spatial axis past cbuf+1+window so aligned patch
+    # origins never truncate a window that holds valid taps (valid tap
+    # cells reach at most cbuf+1; see kernel origin derivation)
+    xb = C + 1 + _PWX
+    yb = C + 1 + _PWY
+    buf = jnp.pad(canvases, ((0, 0), (0, yb - C), (0, xb - C), (0, 0)),
                   constant_values=int(_PAD))
     buf = buf.transpose(0, 3, 2, 1)      # (B, 3, x, y) planar, x-major
 
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, s=s),
+        functools.partial(_warp_kernel, s=s, xb=xb, yb=yb),
         grid=(B, ny, nx),
         in_specs=[
             pl.BlockSpec((B, 6), lambda b, i, j: (0, 0),
@@ -184,7 +219,7 @@ def warp_canvas_batch(canvases, minv, out_size: int, interpret=None):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, ny * nx, 3, _P), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, _PW, _PW), jnp.uint8),
+            pltpu.VMEM((3, _PWX, _PWY), jnp.uint8),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

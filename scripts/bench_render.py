@@ -63,10 +63,15 @@ def main():
         img = render_batch(sa, n_out=args.batch, bank=bank, method=method)
         jax.block_until_ready(img)  # compile
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            img = render_batch(sa, n_out=args.batch, bank=bank,
+        for k in range(args.iters):
+            # vary an input each iter + read a row back: the axon tunnel
+            # dedups repeat executions of identical (program, inputs) and
+            # block_until_ready alone does not force execution there
+            sk = dict(sa)
+            sk["spec_hsv"] = sa["spec_hsv"] + 1e-6 * (k + 1)
+            img = render_batch(sk, n_out=args.batch, bank=bank,
                                method=method)
-        jax.block_until_ready(img)
+            _ = np.asarray(img[0, 0, :4])
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         outs[method] = np.asarray(img)
         print(f"{method:8s} {ms:8.2f} ms/batch "

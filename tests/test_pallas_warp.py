@@ -98,7 +98,8 @@ def test_fits_predicates():
     assert fits_hyp({"scale": 0.5}, 96)
     assert not fits_hyp({"scale": 0.7}, 96)   # sqrt(2)/0.3 > bound
     assert not fits_hyp({"scale": 0.5}, 100)  # not a multiple of 32
-    assert not fits_hyp({"scale": 0.5}, 32)   # canvas smaller than window
+    # tiny canvases fit too: the wrapper end-pads past the patch window
+    assert fits_hyp({"scale": 0.5}, 32)
     ident = np.tile(np.array([[1, 0, 0], [0, 1, 0]], np.float32), (2, 1, 1))
     assert fits_pallas_warp(ident, 96)
     big = ident.copy()
