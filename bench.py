@@ -6,7 +6,8 @@ forward+decode+fixed-shape rotated post-processing — on the available
 accelerator and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N,
-     "latency_b1_ms": ..., "nms_ms_img_detect": ..., "nms_ms_img_eval": ...}
+     "latency_b1_ms": ..., "nms_ms_img_detect": ..., "nms_ms_img_eval": ...,
+     "train_ips": ..., "input_stall": ..., "eval_ips_800px": ...}
 
 ``vs_baseline`` divides by A100_BASELINE_IPS, the derived estimate of the
 PyTorch reference's A100 throughput for the same config (the reference
@@ -17,10 +18,41 @@ derivation"; in short: fp32-eager reference ⇒ A100 TF32 peak 156 TF/s ×
 minus the reference's per-image Python NMS overhead ⇒ 140-195 img/s;
 pinned at the midpoint.  Replace with a measured value if the reference
 is ever run on an A100.
+
+Memory discipline (the round-3 driver run died RESOURCE_EXHAUSTED inside
+the old batch-expansion helper, which held ``iters`` perturbed device
+copies at once):
+
+  * The timed step takes a scalar ``k`` and perturbs the image ON DEVICE —
+    only a 2-batch pool plus 4-byte scalars are ever resident.
+  * The train and eval stages run in SEQUENTIAL SUBPROCESSES before the
+    parent touches the TPU: their weights/optimizer/tile-bank allocations
+    are released by process exit, and a crash in either degrades to null
+    fields instead of failing the headline.
+  * The headline loop retries with halved iters/pool on RESOURCE_EXHAUSTED.
+
+Measurement discipline (the axon tunnel CANNOT be trusted to execute on
+``block_until_ready`` — it has been observed to (a) dedup repeat
+executions of an identical (program, inputs) pair and (b) return from
+``block_until_ready`` in ~0 ms even for fresh inputs, materializing
+results only on host fetch; an un-fetched loop once "measured" 307k
+img/s):
+
+  * Every timed step returns a checksum scalar that depends on its
+    outputs AND on the previous step's checksum, which it also uses to
+    perturb its input — so the steps form a data-dependence CHAIN and one
+    final 4-byte host fetch forces every execution.
+  * The chain seed is fresh OS entropy per round: no (program, inputs)
+    pair ever repeats, within or across processes.
+  * A physics guard rejects impossible numbers (one chip cannot beat
+    peak-MXU img/s for a 185 GFLOP/img graph) and falls back to strict
+    per-call fetches.
 """
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -78,45 +110,94 @@ def build_model(dtype_name: str, deploy: bool, mode: str = "csl",
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
              "int8": jnp.bfloat16}[dtype_name]
     if deploy:
-        # int8: BN-backed convs on the int8 MXU (per-channel weights,
-        # dynamic activation scales); heads/stem/decode stay bf16/f32
+        # int8: BN-backed convs on the int8 MXU (per-channel weights);
+        # heads/stem/decode stay bf16/f32
         model, variables = fuse_for_inference(
             model, variables, dtype=dtype, quantize=dtype_name == "int8",
             packed_input=packed)
+        if dtype_name == "int8":
+            # calibrated static activation scales: kills the per-conv
+            # dynamic max-reduce (one HBM pass + fusion barrier each)
+            from ryolo_tpu.nn.blocks import pack_input_s2d
+            from ryolo_tpu.nn.deploy import calibrate_static_scales
+
+            rng = np.random.default_rng(42)
+
+            def cal_batches(n=2):
+                for _ in range(n):
+                    x = rng.uniform(0, 1, (2, IMG, IMG, 3)).astype(
+                        np.float32)
+                    yield pack_input_s2d(x) if packed else x
+
+            model, variables = calibrate_static_scales(model, variables,
+                                                       cal_batches())
     elif dtype_name != "f32":
         model = model.clone(dtype=dtype)
     return model, variables
 
 
 def detect_fn(model, variables, conf, iou, input_shape=None):
-    """Jitted detect step; with ``input_shape`` the step is compiled with
-    an AUTO input layout (XLA picks the conv-native tiling, killing the
-    ~0.6 ms input retile copy) and the returned callable carries the
-    chosen format as ``.input_format`` — upload batches with
-    ``jax.device_put(x, fmt)`` (same bytes; the DMA engine tiles)."""
+    """Jitted detect step ``fn(images, k) -> (dets, valid, chk)``.
+
+    ``k`` is a device scalar the step adds (a ``k % 1`` ×1e-6 bump) to the
+    image on device, and ``chk`` is a scalar that depends on BOTH ``k``
+    and the detections.  Feeding each call's ``chk`` as the next call's
+    ``k`` (see :func:`chain_loop`) makes the calls a data-dependence chain
+    whose final 4-byte fetch forces every execution — the only timing the
+    axon tunnel cannot fake (it dedups repeated inputs and does not
+    reliably execute on ``block_until_ready``).  The bump fuses into the
+    first conv's input read — not measurable; residency is one scalar.
+
+    With ``input_shape`` the step is compiled with an AUTO input layout
+    (XLA picks the conv-native tiling, killing the ~0.6 ms input retile
+    copy) and the returned callable carries the chosen format as
+    ``.input_format`` — upload batches with ``jax.device_put(x, fmt)``
+    (same bytes; the DMA engine tiles).
+    """
+    import math
+
     import jax
+    import jax.numpy as jnp
 
     from ryolo_tpu.eval.postprocess import (post_process_defer,
-                                            post_process_fixed)
+                                            post_process_kfiou_defer)
+
+    def chk_out(k, dets):
+        # strictly-increasing (never collides even with zero detections)
+        # AND output-dependent; tiny vs the k%1 input bump
+        s = jnp.nan_to_num(jnp.sum(dets[:, :4, :6]))
+        return k + jnp.float32(1.0) + s * jnp.float32(1e-9)
 
     if model.mode == "csl":
         # deferred theta: the full-width 180-bin argmax costs ~4.5 ms/step
         # @800px; the defer path resolves theta for top-k candidates only
-        def body(images):
+        def body(images, k):
+            images = images + ((k % 1.0) * 1e-6).astype(images.dtype)
             _, (dec, neck) = model.apply(variables, images, train=False,
                                          decode="defer")
-            return post_process_defer(dec, neck, 3, model.n_classes,
-                                      conf, iou)
+            dets, valid = post_process_defer(dec, neck, 3, model.n_classes,
+                                             conf, iou)
+            return dets, valid, chk_out(k, dets)
     else:
-        def body(images):
-            _, decoded = model.apply(variables, images, train=False,
-                                     decode=True)
-            return post_process_fixed(decoded, conf, iou)
+        # fully deferred decode: the 18-anchor head only computes
+        # (conf, cls_id) full-width; boxes resolve for the top-k
+        from ryolo_tpu.nn.yolo import STRIDES, make_rotated_anchors
+
+        angles = [a * math.pi / 180 for a in model.model_config["angles"]]
+        anchors = make_rotated_anchors(STRIDES,
+                                       model.model_config["anchors"], angles)
+
+        def body(images, k):
+            images = images + ((k % 1.0) * 1e-6).astype(images.dtype)
+            _, (scores, neck) = model.apply(variables, images, train=False,
+                                            decode="defer")
+            dets, valid = post_process_kfiou_defer(
+                scores, neck, len(anchors[0]), anchors, STRIDES, conf, iou)
+            return dets, valid, chk_out(k, dets)
 
     if input_shape is None:
         return jax.jit(body)
 
-    import jax.numpy as jnp
     from jax.experimental.layout import Format, Layout
 
     # bf16 upload when the deploy graph computes in bf16 anyway: flax
@@ -126,53 +207,46 @@ def detect_fn(model, variables, conf, iou, input_shape=None):
     in_dtype = (jnp.bfloat16 if model.dtype == jnp.bfloat16
                 else jnp.float32)
     compiled = jax.jit(body, in_shardings=Format(Layout.AUTO)).lower(
-        jax.ShapeDtypeStruct(input_shape, in_dtype)).compile()
+        jax.ShapeDtypeStruct(input_shape, in_dtype),
+        jax.ShapeDtypeStruct((), jnp.float32)).compile()
     compiled.input_format = compiled.input_formats[0][0]
     compiled.input_dtype = in_dtype
     return compiled
 
 
-def time_loop(fn, args_list, iters):
-    import jax
+def fresh_seed() -> float:
+    """Fresh OS entropy as a float in [1, 4097): the chain-start scalar.
 
-    outs = []
-    t0 = time.perf_counter()
-    for i in range(iters):
-        outs.append(fn(*args_list[i % len(args_list)]))
-    jax.block_until_ready(outs)
-    return time.perf_counter() - t0
+    ~8.4M distinct float32 values (1/2048 granularity): no timed
+    (program, inputs) pair repeats within or across processes — the axon
+    tunnel memoizes repeats to ~0 ms."""
+    return 1.0 + int.from_bytes(os.urandom(4), "little") % (4096 * 2048) / 2048.0
 
 
-def expand_batches(batches, iters, key0: int = 0, fmt=None):
-    """Expand arg-tuples to ``iters`` device-perturbed unique copies.
+def chain_loop(fn, batches, iters, seed=None, fetch_every: int = 0):
+    """Time ``iters`` calls of ``fn(*batch, k) -> (..., chk)`` where each
+    call's ``k`` is the previous call's ``chk`` — a data-dependence chain.
 
-    The axon tunnel DEDUPS repeat executions of an identical
-    (executable, inputs) pair — a timing loop that cycles a small pool of
-    pre-uploaded batches re-measures only the first pass and reports
-    near-zero for the rest.  Each copy here gets unique content (+k*1e-7
-    for floats, +k%5 for integer images) via a tiny on-device add, so
-    every timed execution is real work.  Perturbed copies are re-put to
-    ``fmt`` when the consumer was compiled with a custom input layout.
+    The single ``float(chk)`` at the end forces EVERY execution: the axon
+    tunnel cannot serve it from cache (fresh entropy seed) and cannot
+    return it without running the whole chain (each step's input depends
+    on the previous step's output).  Dispatches still flow asynchronously,
+    so the wall time is device-execution bound, not host-RTT bound.
+
+    ``fetch_every > 0``: strict mode — fetch the checksum every that many
+    calls (an RTT-including upper bound the tunnel cannot fake even in
+    principle; used when the chained number violates physics).
     """
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def bump(x, k):
-        if jnp.issubdtype(x.dtype, jnp.floating):
-            return x + (k * 1e-7).astype(x.dtype)
-        return x + (k % 5).astype(x.dtype)
-
-    out = []
+    chk = jnp.float32(seed if seed is not None else fresh_seed())
+    t0 = time.perf_counter()
     for i in range(iters):
-        src = batches[i % len(batches)]
-        k = jnp.float32(key0 + i + 1)
-        tup = tuple(bump(x, k) for x in src)
-        if fmt is not None:
-            tup = tuple(jax.device_put(x, fmt) for x in tup)
-        out.append(tup)
-    jax.block_until_ready(out)
-    return out
+        *_, chk = fn(*batches[i % len(batches)], chk)
+        if fetch_every and (i + 1) % fetch_every == 0:
+            chk = jnp.float32(float(chk))
+    assert np.isfinite(float(chk))  # forces the chain
+    return time.perf_counter() - t0
 
 
 def rand_batches(n, batch, img, packed: bool = False, fmt=None,
@@ -184,11 +258,10 @@ def rand_batches(n, batch, img, packed: bool = False, fmt=None,
 
     rng = np.random.default_rng(0)
     # distinct pre-uploaded inputs: pipelined dispatch overlaps the host
-    # round-trip, and no runtime can dedupe repeated work.  With
-    # ``packed``, the input pipeline's letterbox emits the 2x2
-    # space-to-depth layout (same bytes) — see blocks.pack_input_s2d.
-    # ``fmt``/``dtype``: upload in the step's chosen input layout/dtype
-    # (detect_fn compiled with an AUTO input layout).
+    # round-trip.  With ``packed``, the input pipeline's letterbox emits
+    # the 2x2 space-to-depth layout (same bytes) — see
+    # blocks.pack_input_s2d.  ``fmt``/``dtype``: upload in the step's
+    # chosen input layout/dtype (detect_fn compiled with an AUTO layout).
     def make(r):
         x = r.uniform(0, 1, (batch, img, img, 3)).astype(np.float32)
         x = pack_input_s2d(x) if packed else x
@@ -202,6 +275,24 @@ def rand_batches(n, batch, img, packed: bool = False, fmt=None,
     return batches
 
 
+def free_arrays(*trees):
+    """Release device buffers of the given pytrees (donated to the void).
+    Keeps the bench's HBM footprint stage-local on an OOM-prone chip."""
+    import jax
+
+    for tree in trees:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if isinstance(leaf, jax.Array):
+                try:
+                    leaf.delete()
+                except Exception:  # noqa: BLE001 -- already deleted/donated
+                    pass
+
+
+def is_oom(e: Exception) -> bool:
+    return "RESOURCE_EXHAUSTED" in str(e) or "Resource exhausted" in str(e)
+
+
 def bench_eval_ips(model, variables, n_images: int = 48):
     """End-to-end eval throughput at BASELINE config 3 shape.
 
@@ -211,8 +302,6 @@ def bench_eval_ips(model, variables, n_images: int = 48):
     test.py:167-222``), pipelined host matching — on a 15-class synthetic
     DOTA-shaped val split at 800px, batch 8.  Returns (img/s, mAP@.5).
     """
-    import os
-    import sys
     import tempfile
 
     import jax
@@ -288,7 +377,6 @@ def device_ms_from_trace(trace_dir: str, steps: int):
     """
     import glob
     import gzip
-    import os
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -350,22 +438,28 @@ def bench_nms(n_valid: int, iters: int = 16):
     valid = jnp.arange(K)[None, :] < n_valid
 
     @jax.jit
-    def run(boxes, scores):
-        return jax.vmap(
+    def run(boxes, scores, k):
+        # unique inputs per call (axon dedup): a ~1e-5 px on-device box
+        # shift; scores untouched so the descending presort holds
+        boxes = boxes + ((k % 1.0) * 1e-5).astype(boxes.dtype)
+        order, keep = jax.vmap(
             lambda b, s: nms_rotated_masked(b, s, valid[0],
                                             jnp.float32(0.65),
                                             presorted=True)
         )(boxes, scores)
+        chk = (k + 1.0
+               + jnp.sum((order[:, :8] + keep[:, :8]).astype(jnp.float32))
+               * 1e-9)
+        return order, keep, chk
 
-    jax.block_until_ready(run(boxes, scores))
-    # unique inputs per iter (axon dedup); a constant score shift keeps
-    # the descending presort, the box shift is ~1e-5 px
-    dt = time_loop(run, expand_batches([(boxes, scores)], iters), iters)
+    *_, w = run(boxes, scores, jnp.float32(fresh_seed()))  # compile
+    assert np.isfinite(float(w))
+    dt = chain_loop(run, [(boxes, scores)], iters)
     return dt / iters / BATCH * 1e3
 
 
 def bench_train(img: int, batch: int, iters: int = 12,
-                dtype_name: str = "f32"):
+                dtype_name: str = "f32", mini: bool = False):
     """Training-step throughput: device-bound ceiling vs loader-fed.
 
     Reports img/s for the jitted train step on pre-uploaded batches (the
@@ -373,6 +467,13 @@ def bench_train(img: int, batch: int, iters: int = 12,
     pipeline (mosaic+warp+HSV), whose difference is the input-stall
     fraction.  NOTE: this host exposes ONE CPU core; production TPU-VM
     hosts have >100 — the loader-fed number is a hard lower bound.
+
+    No dedup-perturbation is needed here: the optimizer state is an input
+    that CHANGES every step, so no two executions share input bytes.
+
+    ``mini``: the default-bench subset — device-bound ceiling + the
+    device-resident tile-bank loader (the north-star input pipeline) +
+    an isolated renderer timing; skips the host-cv2 loader variants.
     """
     import tempfile
 
@@ -422,26 +523,29 @@ def bench_train(img: int, batch: int, iters: int = 12,
         "tgt": jnp.asarray(tgt), "tgt_csl": jnp.asarray(bins),
         "tgt_mask": jnp.asarray(np.ones((batch, T), bool)),
     }
+    n_pool = 2 if mini else 4
     device_batches = [
         dict(base, images=jnp.asarray(
             rng.uniform(0, 1, (batch, img, img, 3)), jnp.float32))
-        for _ in range(4)
+        for _ in range(n_pool)
     ]
     lr, acc = jnp.float32(1e-4), jnp.int32(1)
-    state, *_ = trainer.train_step(state, device_batches[0], lr, acc)  # compile
-    jax.block_until_ready(state)
+    # the optimizer state CHAINS the steps (each input includes the
+    # previous step's output), so one final loss fetch forces every
+    # execution — block_until_ready alone is not trusted on the axon
+    # tunnel (see module docstring); no dedup is possible either since
+    # no two steps share input bytes
+    state, loss, _ = trainer.train_step(state, device_batches[0], lr,
+                                        acc)  # compile
+    assert np.isfinite(float(loss))
 
     t0 = time.perf_counter()
     for i in range(iters):
         state, loss, _ = trainer.train_step(
-            state, device_batches[i % 4], lr, acc)
-    jax.block_until_ready(state)
+            state, device_batches[i % n_pool], lr, acc)
+    assert np.isfinite(float(loss))  # forces the chain
     dt_dev = time.perf_counter() - t0
     ips_device = batch * iters / dt_dev
-
-    # --- loader-fed: real cv2 pipeline (mosaic4/9 + warp + HSV + flips)
-    import os
-    import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from make_synth_data import main as make_synth_data
@@ -450,24 +554,28 @@ def bench_train(img: int, batch: int, iters: int = 12,
     make_synth_data(tmp, n_images=batch * 4, img_size=img, seed=0)
 
     ips_pipeline = None
-    try:
-        _, loader = load_data(os.path.join(tmp, "train"), ["a", "b"],
-                              "custom", hyp, csl=True, img_size=img,
-                              batch_size=batch, augment=True, shuffle=True,
-                              max_targets=T, drop_last=True)
-        n_img = 0
-        t0 = time.perf_counter()
-        for epoch in range(max(1, iters // len(loader))):
-            loader.set_epoch(epoch)
-            for b in loader:
-                arrays = {k: jnp.asarray(np.asarray(v))
-                          for k, v in b.items() if k != "paths"}
-                state, loss, _ = trainer.train_step(state, arrays, lr, acc)
-                n_img += batch
-        jax.block_until_ready(state)
-        ips_pipeline = n_img / (time.perf_counter() - t0)
-    except Exception as e:  # noqa: BLE001 -- report partial results
-        print(f"# loader-fed bench failed: {e!r}")
+    if not mini:
+        # --- loader-fed: real cv2 pipeline (mosaic4/9 + warp + HSV + flips)
+        try:
+            _, loader = load_data(os.path.join(tmp, "train"), ["a", "b"],
+                                  "custom", hyp, csl=True, img_size=img,
+                                  batch_size=batch, augment=True,
+                                  shuffle=True, max_targets=T,
+                                  drop_last=True)
+            n_img = 0
+            t0 = time.perf_counter()
+            for epoch in range(max(1, iters // len(loader))):
+                loader.set_epoch(epoch)
+                for b in loader:
+                    arrays = {k: jnp.asarray(np.asarray(v))
+                              for k, v in b.items() if k != "paths"}
+                    state, loss, _ = trainer.train_step(state, arrays, lr,
+                                                        acc)
+                    n_img += batch
+            assert np.isfinite(float(loss))  # forces the state chain
+            ips_pipeline = n_img / (time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 -- report partial results
+            print(f"# loader-fed bench failed: {e!r}", file=sys.stderr)
 
     # --- loader-fed with DEVICE-SIDE augmentation + decoded-image cache:
     # the host emits render specs (decode + label math only); mosaic/warp/
@@ -492,27 +600,31 @@ def bench_train(img: int, batch: int, iters: int = 12,
                           "tgt_mask": sa["tgt_mask"]}
                 state, loss, _ = trainer.train_step(state, arrays, lr, acc)
                 n_img += batch
-        jax.block_until_ready(state)
+        assert np.isfinite(float(loss))  # forces the state chain
         return n_img / (time.perf_counter() - t0)
 
     ips_devaug = None
-    try:
-        _, dloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
-                               "custom", hyp, csl=True, img_size=img,
-                               batch_size=batch, augment=True, shuffle=True,
-                               max_targets=T, drop_last=True,
-                               device_augment=True, cache_images=True)
-        run_epochs(dloader, None, 1, 0)  # warm: compile + fill decode cache
-        ips_devaug = run_epochs(dloader, None,
-                                max(2, iters // len(dloader)), 1)
-    except Exception as e:  # noqa: BLE001
-        print(f"# device-aug loader bench failed: {e!r}")
+    if not mini:
+        try:
+            _, dloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
+                                   "custom", hyp, csl=True, img_size=img,
+                                   batch_size=batch, augment=True,
+                                   shuffle=True, max_targets=T,
+                                   drop_last=True, device_augment=True,
+                                   cache_images=True)
+            run_epochs(dloader, None, 1, 0)  # warm: compile + decode cache
+            ips_devaug = run_epochs(dloader, None,
+                                    max(2, iters // len(dloader)), 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# device-aug loader bench failed: {e!r}",
+                  file=sys.stderr)
 
     # --- loader-fed with the device-RESIDENT tile bank: the decoded train
     # split pins to HBM once; batches ship only (B, T) int32 bank rows +
     # spec scalars, so even a tunnel-attached 1-core host keeps the device
     # busy (the north-star input pipeline, SURVEY §7 step 5)
     ips_devcache = None
+    render_ms = None
     try:
         cds, cloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
                                  "custom", hyp, csl=True, img_size=img,
@@ -525,14 +637,42 @@ def bench_train(img: int, batch: int, iters: int = 12,
         run_epochs(cloader, bank, 1, 0)  # warm
         ips_devcache = run_epochs(cloader, bank,
                                   max(2, iters // len(cloader)), 1)
+
+        # isolated renderer timing: ms/batch of render_batch alone on the
+        # resident bank (VERDICT r3 weak #3: the Pallas warp kernel had no
+        # on-hardware in-loop measurement)
+        cloader.set_epoch(99)
+        spec = next(iter(cloader))
+        sa = {k: jnp.asarray(np.asarray(v)) for k, v in spec.items()
+              if k != "paths"}
+        imgs = render_batch(sa, n_out=batch, bank=bank, method=render_method)
+        jax.block_until_ready(imgs)
+        r_iters = 8
+        # chained + fetch-forced (see module docstring): each iter's
+        # (invisible, ~4e-6) HSV-gain bump derives from the previous
+        # image, so the final 4-byte fetch forces all r_iters renders
+        chk = jnp.float32(fresh_seed())
+        t0 = time.perf_counter()
+        for _ in range(r_iters):
+            s = dict(sa, spec_hsv=sa["spec_hsv"] + chk * 1e-9)
+            img_r = render_batch(s, n_out=batch, bank=bank,
+                                 method=render_method)
+            chk = img_r[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1
+        assert np.isfinite(float(chk))
+        render_ms = (time.perf_counter() - t0) / r_iters * 1e3
     except Exception as e:  # noqa: BLE001
-        print(f"# device-cache loader bench failed: {e!r}")
+        print(f"# device-cache loader bench failed: {e!r}", file=sys.stderr)
 
     out = {
         "metric": f"train_img_per_sec_chip_{img}px_yolov7_csl_{dtype_name}",
         "value": round(ips_device, 2),
         "unit": "img/s",
-        "device_bound_img_s": round(ips_device, 2),
+        "train_ips": round(ips_device, 2),
+        "train_ips_loader": round(ips_devcache, 2) if ips_devcache else None,
+        "input_stall": round(1 - ips_devcache / ips_device, 3)
+        if ips_devcache else None,
+        "render_ms_batch": round(render_ms, 2) if render_ms else None,
+        "render_method": render_method,
         "loader_fed_img_s": round(ips_pipeline, 2) if ips_pipeline else None,
         "input_stall_frac": round(1 - ips_pipeline / ips_device, 3)
         if ips_pipeline else None,
@@ -540,13 +680,53 @@ def bench_train(img: int, batch: int, iters: int = 12,
         else None,
         "input_stall_frac_devaug": round(1 - ips_devaug / ips_device, 3)
         if ips_devaug else None,
-        "loader_fed_devcache_img_s": round(ips_devcache, 2) if ips_devcache
-        else None,
-        "input_stall_frac_devcache": round(1 - ips_devcache / ips_device, 3)
-        if ips_devcache else None,
         "host_cores": os.cpu_count(),
     }
     print(json.dumps(out))
+
+
+def run_stage(stage: str, args, timeout: int = 2400) -> dict:
+    """Run a bench stage in a SEQUENTIAL subprocess and return its JSON.
+
+    Process exit releases every device allocation the stage made (weights,
+    optimizer state, tile bank, step-cache executables), so stages cannot
+    crowd each other out of HBM; a stage crash degrades to null fields
+    instead of failing the whole bench (round-3 driver run died rc=1).
+    """
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
+           "--dtype", args.dtype, "--mode", args.mode, "--ver", args.ver,
+           "--img", str(args.img), "--batch", str(args.batch)]
+    if args.no_deploy:
+        cmd.append("--no-deploy")
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+        for line in reversed(p.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        err = p.stderr.strip().splitlines()
+        print(f"# stage {stage} produced no JSON (rc={p.returncode}): "
+              f"{err[-1] if err else '?'}")
+    except Exception as e:  # noqa: BLE001 -- stage failures are non-fatal
+        print(f"# stage {stage} failed: {e!r}")
+    return {}
+
+
+def stage_eval(args) -> None:
+    """Subprocess body: eval-protocol throughput, one JSON line."""
+    # the eval loader emits plain NHWC; build the unpacked model
+    model, variables = build_model(args.dtype, not args.no_deploy,
+                                   mode=args.mode, ver=args.ver,
+                                   packed=False)
+    eval_ips, eval_map50, eval_ips_e2e = bench_eval_ips(model, variables)
+    print(json.dumps({
+        "eval_ips_800px": round(eval_ips, 2),
+        "eval_ips_800px_e2e_1core": round(eval_ips_e2e, 2),
+        "eval_map50_synth": round(eval_map50, 4),
+    }))
 
 
 def main():
@@ -560,7 +740,9 @@ def main():
     parser.add_argument("--no-deploy", action="store_true",
                         help="benchmark the unfused training-structure graph")
     parser.add_argument("--no-eval", action="store_true",
-                        help="skip the end-to-end eval throughput drive")
+                        help="skip the end-to-end eval throughput stage")
+    parser.add_argument("--no-train", action="store_true",
+                        help="skip the train-step throughput stage")
     parser.add_argument("--no-packed-input", action="store_true",
                         help="feed plain NHWC instead of the S2D-packed "
                              "input layout (deploy v7/v4 default: packed)")
@@ -570,11 +752,15 @@ def main():
                         help="benchmark the training step instead of detect")
     parser.add_argument("--breakdown", action="store_true",
                         help="time forward / +decode / +post-process stages")
+    parser.add_argument("--stage", choices=["train-mini", "eval"],
+                        default="", help=argparse.SUPPRESS)  # internal
     parser.add_argument("--img", type=int, default=IMG)
     parser.add_argument("--batch", type=int, default=BATCH)
     parser.add_argument("--profile", type=str, default="",
                         help="dump a jax profiler trace to this directory")
-    parser.add_argument("--iters", type=int, default=48)
+    # 96 chained steps/round: the round's single forced fetch carries a
+    # few-hundred-ms tunnel overhead — amortize it below ~2% of the round
+    parser.add_argument("--iters", type=int, default=96)
     args = parser.parse_args()
 
     import jax
@@ -584,11 +770,28 @@ def main():
 
     enable_compilation_cache()
 
-    if args.train:
-        bench_train(args.img, args.batch, dtype_name=args.dtype)
+    BATCH, IMG = args.batch, args.img
+
+    if args.train or args.stage == "train-mini":
+        bench_train(args.img, args.batch, dtype_name="bf16"
+                    if args.stage else args.dtype,
+                    mini=args.stage == "train-mini")
+        return
+    if args.stage == "eval":
+        stage_eval(args)
         return
 
-    BATCH, IMG = args.batch, args.img
+    # --- sub-benches run FIRST, in sequential subprocesses, before this
+    # process touches the TPU: their allocations die with the process and
+    # the headline starts on an empty chip (round-3 driver OOM lesson)
+    extra = {}
+    if IMG == 800 and args.mode == "csl" and not args.no_train:
+        extra.update(run_stage("train-mini", args))
+        extra.pop("metric", None)  # keep the headline metric name
+        extra.pop("value", None)
+        extra.pop("unit", None)
+    if IMG == 800 and args.mode == "csl" and not args.no_eval:
+        extra.update(run_stage("eval", args))
 
     packed = (not args.no_deploy and not args.no_packed_input
               and args.ver in ("yolov7", "yolov4"))
@@ -617,27 +820,30 @@ def main():
         return
 
     if args.breakdown:
-        from ryolo_tpu.eval.postprocess import post_process_fixed
-
         @jax.jit
-        def fwd_only(images):
+        def fwd_only(images, k):
+            images = images + ((k % 1.0) * 1e-6).astype(images.dtype)
             outs = model.apply(variables, images, train=False, decode=False)
-            return [o.sum() for o in outs]  # tiny reduce: no D2H of raw heads
+            # tiny reduce: no D2H of raw heads; chains via chk
+            chk = k + 1.0 + sum(o.sum().astype(jnp.float32)
+                                for o in outs) * 1e-9
+            return chk,
 
         @jax.jit
-        def fwd_decode(images):
+        def fwd_decode(images, k):
+            images = images + ((k % 1.0) * 1e-6).astype(images.dtype)
             _, decoded = model.apply(variables, images, train=False,
                                      decode=True)
-            return decoded.sum()
+            return k + 1.0 + decoded.sum().astype(jnp.float32) * 1e-9,
 
         full = detect_fn(model, variables, 0.7, 0.2)
-        batches = rand_batches(4, BATCH, IMG, packed=packed)
+        batches = rand_batches(2, BATCH, IMG, packed=packed)
         out = {}
         for name, fn in [("forward", fwd_only), ("fwd_decode", fwd_decode),
                          ("full_detect", full)]:
-            jax.block_until_ready(fn(*batches[0]))
-            dt = time_loop(fn, expand_batches(batches, args.iters),
-                           args.iters)
+            *_, w = fn(*batches[0], jnp.float32(fresh_seed()))
+            assert np.isfinite(float(w))  # compile + forced warm
+            dt = chain_loop(fn, batches, args.iters)
             out[name + "_ms_batch"] = round(dt / args.iters * 1e3, 2)
         print(json.dumps(out))
         return
@@ -646,77 +852,90 @@ def main():
                 else (BATCH, IMG, IMG, 3))
     detect_step = detect_fn(model, variables, 0.7, 0.2,
                             input_shape=in_shape)
-    batches = rand_batches(8, BATCH, IMG, packed=packed,
-                           fmt=detect_step.input_format,
-                           dtype=detect_step.input_dtype)
-    jax.block_until_ready(detect_step(*batches[0]))  # warmup + compile
 
-    if args.profile:
-        with jax.profiler.trace(args.profile):
-            time_loop(detect_step, batches, 4)
+    # headline timing with RESOURCE_EXHAUSTED retry: residency is just the
+    # pool (2 × ~31 MB batches) + a 4-byte chain scalar, but the driver
+    # chip may be shared — halve the load until it fits
+    iters, pool = args.iters, 2
+    suspect = False
+    while True:
+        try:
+            batches = rand_batches(pool, BATCH, IMG, packed=packed,
+                                   fmt=detect_step.input_format,
+                                   dtype=detect_step.input_dtype)
+            *_, w = detect_step(*batches[0], jnp.float32(fresh_seed()))
+            assert np.isfinite(float(w))  # compile + forced warm execution
 
-    # best of 3 rounds: the remote-tunnel dispatch adds multi-percent
-    # run-to-run noise; the fastest round is the least-perturbed measure
-    # of the device program (each round is still `iters` full steps).
-    # Every round gets its own device-perturbed unique inputs — the axon
-    # tunnel dedups repeat executions of identical (program, inputs).
-    dt = min(
-        time_loop(detect_step,
-                  expand_batches(batches, args.iters, key0=r * args.iters,
-                                 fmt=detect_step.input_format),
-                  args.iters)
-        for r in range(3)
-    )
-    ips = BATCH * args.iters / dt
+            if args.profile:
+                with jax.profiler.trace(args.profile):
+                    chain_loop(detect_step, batches, 4)
+
+            # best of 3 chained rounds (fresh entropy seed each): the
+            # remote-tunnel dispatch adds multi-percent run-to-run noise;
+            # the fastest round is the least-perturbed measure of the
+            # device program (each round is still `iters` FORCED steps —
+            # see chain_loop)
+            dt = min(chain_loop(detect_step, batches, iters)
+                     for _ in range(3))
+            # physics guard: a 185 GFLOP/img (@800px; conv cost scales
+            # with area) graph cannot beat ~5400 img/s even at a
+            # hypothetical 1 PF/s chip — an impossible number means the
+            # tunnel faked the chain; fall back to strict per-call
+            # fetches (RTT-including upper bound the tunnel cannot fake
+            # even in principle)
+            if BATCH * iters / dt > 1e15 / (185e9 * (IMG / 800) ** 2):
+                print("# headline violates physics; strict per-call fetch")
+                suspect = True
+                dt = min(chain_loop(detect_step, batches, iters,
+                                    fetch_every=1) for _ in range(2))
+            break
+        except Exception as e:  # noqa: BLE001
+            if not is_oom(e) or iters <= 6:
+                raise
+            free_arrays(locals().get("batches"))
+            iters //= 2
+            pool = max(pool // 2, 2)
+            print(f"# headline RESOURCE_EXHAUSTED; retrying iters={iters} "
+                  f"pool={pool}")
+            import gc
+
+            gc.collect()
+    ips = BATCH * iters / dt
+    free_arrays(batches)
 
     # batch-1 latency (the reference's per-image timing contract,
     # /root/reference/detect.py:58-62)
     b1_shape = ((1, IMG // 2, IMG // 2, 12) if packed
                 else (1, IMG, IMG, 3))
     detect_b1 = detect_fn(model, variables, 0.7, 0.2, input_shape=b1_shape)
-    b1 = rand_batches(4, 1, IMG, packed=packed,
+    b1 = rand_batches(2, 1, IMG, packed=packed,
                       fmt=detect_b1.input_format,
                       dtype=detect_b1.input_dtype)
-    jax.block_until_ready(detect_b1(*b1[0]))
     lat_iters = 16
-    b1x = expand_batches(b1, lat_iters, fmt=detect_b1.input_format)
-    t0 = time.perf_counter()
-    for i in range(lat_iters):  # serialized: true latency, no pipelining
-        jax.block_until_ready(detect_b1(*b1x[i]))
-    lat_ms = (time.perf_counter() - t0) / lat_iters * 1e3
+    *_, w = detect_b1(*b1[0], jnp.float32(fresh_seed()))
+    assert np.isfinite(float(w))  # compile + forced warm execution
+    # the chain serializes execution by data dependence (step i+1 cannot
+    # start before step i's checksum exists) with a single final fetch —
+    # true b1 latency without the tunnel's per-fetch RTT
+    lat_ms = chain_loop(detect_b1, b1, lat_iters) / lat_iters * 1e3
 
     # device-side b1 latency from a profiler trace (the wall number above
-    # includes the axon-tunnel RTT; deployments care about on-device time)
+    # still includes per-dispatch tunnel overhead; deployments care about
+    # on-device time)
     lat_dev_ms = None
     try:
         import tempfile
 
         trace_dir = tempfile.mkdtemp(prefix="bench_b1_trace_")
-        b1t = expand_batches(b1, 4, key0=1000, fmt=detect_b1.input_format)
         with jax.profiler.trace(trace_dir):
-            for i in range(4):
-                jax.block_until_ready(detect_b1(*b1t[i]))
+            chain_loop(detect_b1, b1, 4)
         lat_dev_ms = device_ms_from_trace(trace_dir, steps=4)
     except Exception as e:  # noqa: BLE001
         print(f"# b1 device-latency trace failed: {e!r}")
+    free_arrays(b1)
 
     nms_detect = bench_nms(n_valid=32)
     nms_eval = bench_nms(n_valid=5000)
-
-    # full eval-protocol throughput at BASELINE config-3 shape (15-class
-    # 800px, conf .001, max_det 1500) — VERDICT r2 item 3
-    eval_ips = eval_map50 = eval_ips_e2e = None
-    if IMG == 800 and args.mode == "csl" and not args.no_eval:
-        try:
-            if packed:
-                emodel, evars = build_model(args.dtype, not args.no_deploy,
-                                            mode=args.mode, ver=args.ver,
-                                            packed=False)
-            else:
-                emodel, evars = model, variables
-            eval_ips, eval_map50, eval_ips_e2e = bench_eval_ips(emodel, evars)
-        except Exception as e:  # noqa: BLE001 -- keep the headline line
-            print(f"# eval-ips bench failed: {e!r}")
 
     out = {
         "metric": f"images_per_sec_chip_{IMG}px_detect_{args.ver}_{args.mode}",
@@ -730,11 +949,10 @@ def main():
         "dtype": args.dtype,
         "deploy": not args.no_deploy,
         "packed_input": packed,
+        "timed_iters": iters,
+        "strict_timing_fallback": suspect,
     }
-    if eval_ips is not None:
-        out["eval_ips_800px"] = round(eval_ips, 2)
-        out["eval_ips_800px_e2e_1core"] = round(eval_ips_e2e, 2)
-        out["eval_map50_synth"] = round(eval_map50, 4)
+    out.update(extra)
     print(json.dumps(out))
 
 

@@ -24,7 +24,6 @@ apply_env_platform()
 import numpy as np
 
 from ryolo_tpu.data.datasets import ImageDataset
-from ryolo_tpu.eval.postprocess import post_process_fixed
 from ryolo_tpu.nn import Yolo, fuse_for_inference
 from ryolo_tpu.utils.checkpoint import import_state_dict, load_pth
 from ryolo_tpu.utils.config import load_yaml
@@ -86,16 +85,29 @@ class Detect:
                 )
                 return dec, dets, valid
         else:
+            # fully deferred KFIoU decode: the 18-anchor head computes only
+            # (conf, cls_id) full-width; boxes resolve for the top-k
+            import math as _math
+
+            from ryolo_tpu.eval.postprocess import post_process_kfiou_defer
+            from ryolo_tpu.nn.yolo import STRIDES, make_rotated_anchors
+
+            _angles = [a * _math.pi / 180
+                       for a in config["model"]["angles"]]
+            _anchors = make_rotated_anchors(
+                STRIDES, config["model"]["anchors"], _angles)
+
             @jax.jit
             def infer(variables, images):
                 if images.dtype == jnp.uint8:
                     images = images.astype(jnp.float32) / 255.0
-                _, decoded = model.apply(variables, images, train=False,
-                                         decode=True)
-                dets, valid = post_process_fixed(
-                    decoded, float(args.conf_thres), float(args.nms_thres)
+                _, (scores, neck) = model.apply(variables, images,
+                                                train=False, decode="defer")
+                dets, valid = post_process_kfiou_defer(
+                    scores, neck, len(_anchors[0]), _anchors, STRIDES,
+                    float(args.conf_thres), float(args.nms_thres)
                 )
-                return decoded, dets, valid
+                return scores, dets, valid
 
         save_folder = os.path.join("outputs", "inference")
         os.makedirs(save_folder, exist_ok=True)
@@ -136,7 +148,7 @@ class Detect:
                 images = jnp.asarray(images)
                 t0 = time.time()
                 decoded, dets, valid = infer(variables, images)
-                decoded.block_until_ready()
+                jax.block_until_ready(decoded)
                 t1 = time.time()
                 dets = np.asarray(dets)
                 valid = np.asarray(valid)

@@ -449,9 +449,10 @@ def pick_method(hyp, out_size: int) -> str:
 
     The Pallas MXU warp (`ryolo_tpu.ops.pallas_warp`) replaces the
     byte-bound per-pixel warp gather whenever the hyp's worst-case warp
-    derivative fits its static 128-cell patch window (true for the
-    reference defaults: scale 0.5 -> sqrt(2)/0.5 = 2.83 <= ~4) and the
-    backend is a TPU; otherwise the canvas gather renderer runs.
+    derivative fits its static 96-cell tap span — the kernel bound is
+    MAX_ROW_NORM = (SPAN-2)/(TILE-1) ≈ 3.03, and the reference defaults
+    satisfy it: scale 0.5 -> sqrt(2)/0.5 ≈ 2.83 ≤ 3.03 — and the backend
+    is a TPU; otherwise the canvas gather renderer runs.
     """
     from ryolo_tpu.ops.pallas_warp import fits_hyp
 

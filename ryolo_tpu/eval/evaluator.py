@@ -27,9 +27,31 @@ from ryolo_tpu.utils.logger import logger
 # id() keys are only valid while their object is alive, so each entry pins
 # its model/loss_fn — a new object can never reuse a cached id (the id-reuse
 # stale-hit hazard of bare id keys, VERDICT r2 weak #5).  Bounded LRU so the
-# pins don't accumulate in long-lived library use.
+# pins don't accumulate in long-lived library use; eviction (and
+# ``clear_step_cache``) drops the jit cache so the compiled executables'
+# device allocations are actually released, not just unpinned.
 _STEP_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _STEP_CACHE_MAX = 8
+
+
+def _drop_entry(entry) -> None:
+    step = entry[2]
+    clear = getattr(step, "clear_cache", None)
+    if clear is not None:
+        clear()
+
+
+def clear_step_cache() -> None:
+    """Release every cached eval step and its compiled executables.
+
+    Call between pipeline stages that share one OOM-prone chip (bench.py
+    runs eval before the detect headline): evicting the Python references
+    alone leaves the jitted executables — and any device constants they
+    hold — alive until GC runs.
+    """
+    while _STEP_CACHE:
+        _, entry = _STEP_CACHE.popitem(last=False)
+        _drop_entry(entry)
 
 
 def padded_targets_to_rows(tgt, mask, img_size: int) -> np.ndarray:
@@ -89,12 +111,27 @@ def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
                 _, items = loss_fn(outputs, arrays)
             return dets, valid, items
     else:
+        # fully deferred KFIoU decode (see postprocess.post_process_
+        # kfiou_defer): the 18-anchor head computes only (conf, cls_id)
+        # full-width; boxes resolve for the selected top-k
+        import math
+
+        from ryolo_tpu.eval.postprocess import post_process_kfiou_defer
+        from ryolo_tpu.nn.yolo import STRIDES, make_rotated_anchors
+
+        angles = [a * math.pi / 180
+                  for a in model.model_config["angles"]]
+        anchors = make_rotated_anchors(STRIDES,
+                                       model.model_config["anchors"],
+                                       angles)
+
         @jax.jit
         def step(variables, arrays):
-            outputs, decoded = model.apply(variables, _norm_images(arrays),
-                                           train=False, decode=True)
-            dets, valid = post_process_fixed(
-                decoded, float(conf_thres), float(iou_thres),
+            outputs, (scores, neck) = model.apply(
+                variables, _norm_images(arrays), train=False, decode="defer")
+            dets, valid = post_process_kfiou_defer(
+                scores, neck, len(anchors[0]), anchors, STRIDES,
+                float(conf_thres), float(iou_thres),
                 max_nms=max_nms, max_det=max_det,
             )
             items = {}
@@ -104,7 +141,8 @@ def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
 
     _STEP_CACHE[key] = (model, loss_fn, step)
     while len(_STEP_CACHE) > _STEP_CACHE_MAX:
-        _STEP_CACHE.popitem(last=False)
+        _, old = _STEP_CACHE.popitem(last=False)
+        _drop_entry(old)
     return step
 
 

@@ -40,7 +40,7 @@ SMALL_K = 512
 
 
 def _select_nms_compact(payload, sel, k: int, iou_thres, max_det: int,
-                        use_topk: bool, theta_fn=None):
+                        use_topk: bool, theta_fn=None, box_fn=None):
     """Top-k select + rotated NMS + compaction at static width ``k``.
 
     Candidate selection: near N ≈ k a single variadic stable sort carrying
@@ -50,8 +50,17 @@ def _select_nms_compact(payload, sel, k: int, iou_thres, max_det: int,
     fast path), top_k + per-COLUMN gathers of only k entries is cheaper
     than sorting the full width with 7 payloads.  Both orderings are
     identical: descending score, ties by candidate index.
+
+    ``box_fn`` (fully deferred decode, KFIoU): payload carries only
+    ``[cls_id]`` and every box field resolves post-selection via
+    ``box_fn(idx) -> (B, k, 5)``.
     """
-    if use_topk or theta_fn is not None:
+    if box_fn is not None:
+        top_scores, idx = jax.lax.top_k(sel, k)  # (B, k) desc, ties by idx
+        tcls = jnp.take_along_axis(payload[0], idx, axis=1)
+        box = box_fn(idx)
+        bx, by, bw, bh, bt = (box[..., i] for i in range(5))
+    elif use_topk or theta_fn is not None:
         top_scores, idx = jax.lax.top_k(sel, k)  # (B, k) desc, ties by idx
         bx, by, bw, bh, bt, tcls = (
             jnp.take_along_axis(o, idx, axis=1) for o in payload
@@ -190,15 +199,45 @@ def post_process_defer(predictions, neck_outs, na: int, nc: int,
                     theta_fn=theta_fn)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("na", "max_nms", "max_det"))
+def post_process_kfiou_defer(scores, neck_outs, na: int, anchors, strides,
+                             conf_thres: float, iou_thres: float,
+                             max_nms: int = MAX_NMS, max_det: int = MAX_DET):
+    """Post-process with FULLY deferred KFIoU decode
+    (``Yolo(..., decode="defer")`` in kfiou mode).
+
+    ``scores``: ``(conf, cls_id)`` from :func:`ryolo_tpu.nn.heads.
+    decode_kfiou_scores`; ``neck_outs``: the raw head maps.  The box
+    fields (x, y, w, h, θ) are gathered+decoded only for the top-k
+    selected candidates (:func:`ryolo_tpu.nn.heads.deferred_kfiou_box`) —
+    results identical to :func:`post_process_fixed` on the full
+    :func:`decode_kfiou` output, skipping its ``(B, N, nc+6)``
+    materialization (~166 MB @800px B=8 for the 18-anchor head).
+    ``anchors``/``strides``: the model's per-level grid-unit rotated
+    anchors (``Yolo.anchors``) and STRIDES — static constants.
+    """
+    from ryolo_tpu.nn.heads import deferred_kfiou_box
+
+    conf, cls_id = scores
+    N = conf.shape[1]
+    sel = jnp.where(conf > conf_thres, conf, -1.0)
+    box_fn = lambda idx: deferred_kfiou_box(  # noqa: E731
+        neck_outs, idx, na, anchors, strides)
+    payload = [cls_id.astype(jnp.float32)]
+    return _pp_tail(payload, sel, N, iou_thres, max_nms, max_det, None,
+                    box_fn=box_fn)
+
+
 def _pp_tail(payload, sel, N: int, iou_thres, max_nms: int, max_det: int,
-             use_topk, theta_fn=None):
+             use_topk, theta_fn=None, box_fn=None):
     k = min(max_nms, N)
     if use_topk is None:
         use_topk = N > 2 * k
 
     if k <= SMALL_K:
         return _select_nms_compact(payload, sel, k, iou_thres, max_det,
-                                   use_topk, theta_fn)
+                                   use_topk, theta_fn, box_fn)
     # Count-conditioned fast path: when no image exceeds SMALL_K
     # above-threshold candidates, the top-SMALL_K already contains every
     # candidate NMS can see — identical result at a fraction of the
@@ -207,9 +246,9 @@ def _pp_tail(payload, sel, N: int, iou_thres, max_nms: int, max_det: int,
     return jax.lax.cond(
         n_max <= SMALL_K,
         lambda: _select_nms_compact(payload, sel, SMALL_K, iou_thres,
-                                    max_det, True, theta_fn),
+                                    max_det, True, theta_fn, box_fn),
         lambda: _select_nms_compact(payload, sel, k, iou_thres, max_det,
-                                    use_topk, theta_fn),
+                                    use_topk, theta_fn, box_fn),
     )
 
 

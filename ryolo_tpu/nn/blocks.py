@@ -148,6 +148,15 @@ class ConvBlock(nn.Module):
     op's epilogue, the conv accumulates in int32 at 2× the bf16 MXU rate,
     and the dequant+bias+activation fuse into this conv's epilogue.
     Detection-head convs (``bn=False``) never quantize.
+
+    ``quant="static"`` replaces the dynamic per-tensor scale with a
+    CALIBRATED constant (``ascale`` param, from
+    :func:`ryolo_tpu.nn.deploy.calibrate_static_scales`): the full
+    activation max-reduce — a mandatory extra HBM pass per quantized conv
+    and a fusion barrier — disappears, leaving a pure elementwise quantize
+    that fuses into the producer.  The dynamic branch additionally sows
+    its observed scale (``intermediates/amax``) so a calibration pass can
+    record per-layer activation ranges.
     """
 
     out_ch: int
@@ -158,7 +167,7 @@ class ConvBlock(nn.Module):
     bias: bool = False
     dtype: Dtype = jnp.float32
     deploy: bool = False
-    quant: bool = False
+    quant: Any = False  # False | True (dynamic scales) | "static"
 
     # int8 pays only where the MXU is the bottleneck: narrow convs are
     # layout/bandwidth-bound and the quantize epilogues make them SLOWER
@@ -184,7 +193,16 @@ class ConvBlock(nn.Module):
                 "bias", lambda key: jnp.zeros((self.out_ch,), jnp.float32)
             )
             x32 = x.astype(jnp.float32)
-            s = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12)
+            if self.quant == "static":
+                s = self.param(
+                    "ascale", lambda key: jnp.ones((), jnp.float32)
+                )
+            else:
+                s = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12)
+                # record the observed per-batch scale for calibration
+                self.sow("intermediates", "amax", s,
+                         init_fn=lambda: jnp.zeros((), jnp.float32),
+                         reduce_fn=jnp.maximum)
             q = jnp.clip(jnp.round(x32 * (127.0 / s)), -127.0,
                          127.0).astype(jnp.int8)
             acc = jax.lax.conv_general_dilated(
@@ -474,7 +492,7 @@ class RepConv(nn.Module):
     s: int = 1
     dtype: Dtype = jnp.float32
     deploy: bool = False
-    quant: bool = False
+    quant: Any = False  # False | True (dynamic scales) | "static"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -496,7 +514,15 @@ class RepConv(nn.Module):
                     "bias", lambda key: jnp.zeros((self.c2,), jnp.float32)
                 )
                 x32 = x.astype(jnp.float32)
-                sa = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12)
+                if self.quant == "static":
+                    sa = self.param(
+                        "ascale", lambda key: jnp.ones((), jnp.float32)
+                    )
+                else:
+                    sa = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12)
+                    self.sow("intermediates", "amax", sa,
+                             init_fn=lambda: jnp.zeros((), jnp.float32),
+                             reduce_fn=jnp.maximum)
                 q = jnp.clip(jnp.round(x32 * (127.0 / sa)), -127.0,
                              127.0).astype(jnp.int8)
                 acc = jax.lax.conv_general_dilated(

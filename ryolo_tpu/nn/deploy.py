@@ -344,6 +344,59 @@ def _infer_ver(params: Mapping) -> str:
     return "yolov4"
 
 
+def calibrate_static_scales(model, variables, batches):
+    """Calibrate per-layer static activation scales for the int8 path.
+
+    ``model``/``variables`` come from ``fuse_for_inference(quantize=True)``
+    (dynamic scales).  Runs the quantized graph over the calibration
+    ``batches`` (an iterable of NHWC image arrays), recording each
+    quantized conv's observed per-tensor activation max (the dynamic
+    branch sows it as ``intermediates/amax``), then returns
+    ``(static_model, static_variables)`` where every quantized conv reads
+    a constant ``ascale`` instead of reducing the activation tensor —
+    removing one full HBM pass + fusion barrier per quantized conv.
+
+    Numerics: identical to the dynamic path whenever a batch's activation
+    max does not exceed its calibrated max (values beyond it clip at
+    ±127, the standard post-training-quantization behavior).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    amax = None
+
+    @jax.jit
+    def observe(images):
+        _, inter = model.apply(variables, images, train=False,
+                               mutable=["intermediates"])
+        return inter["intermediates"]
+
+    for images in batches:
+        cur = jax.device_get(observe(jnp.asarray(images)))
+        if amax is None:
+            amax = cur
+        else:
+            amax = jax.tree_util.tree_map(np.maximum, amax, cur)
+    if amax is None:
+        raise ValueError("calibration needs at least one batch")
+
+    def _inject(params, inter):
+        out = dict(params)
+        for name, node in inter.items():
+            if name == "amax":
+                # sow with reduce_fn stores the reduced scalar (possibly
+                # tuple-wrapped depending on flax version)
+                v = node[0] if isinstance(node, (tuple, list)) else node
+                out["ascale"] = np.float32(np.maximum(v, 1e-12))
+            elif isinstance(node, Mapping) and name in out:
+                out[name] = _inject(out[name], node)
+        return out
+
+    new_params = _inject(variables["params"], amax)
+    static_model = model.clone(quant="static")
+    return static_model, {"params": new_params}
+
+
 def fuse_for_inference(model, variables, dtype=None,
                        quantize: bool = False,
                        packed_input: bool = False) -> Tuple[Any, dict]:

@@ -139,6 +139,91 @@ def decode_csl_defer(outs: Sequence[jax.Array],
     return jnp.concatenate(decoded, axis=1)
 
 
+def decode_kfiou_scores(outs: Sequence[jax.Array], na: int,
+                        nc: int) -> Tuple[jax.Array, jax.Array]:
+    """KFIoU candidate scores WITHOUT the box decode -> ``(conf, cls_id)``.
+
+    The 18-anchor KFIoU head decodes ~6× more rows than CSL; materializing
+    the full ``(B, N, nc+6)`` decoded tensor (~166 MB @800px B=8) is the
+    dominant HBM cost of its post-process.  Selection only needs the
+    per-candidate confidence, so this computes ``conf = max_c σ(cls_c) ·
+    σ(obj)`` and ``cls_id = argmax_c`` full-width with EXACTLY the
+    arithmetic :func:`ryolo_tpu.eval.postprocess.post_process_fixed`
+    applies to the full :func:`decode_kfiou` output (σ in f32, then the
+    product, then max/argmax) — elementwise, so it fuses into the head
+    read; bit-identical conf AND tie-identical argmax (a raw-logit argmax
+    disagrees on ~0.1% of rows where f32 σ rounding collapses nearby
+    logits into ties).  Box fields resolve after top-k selection via
+    :func:`deferred_kfiou_box`.  Candidate order matches
+    :func:`decode_kfiou` exactly (anchor-major, row-major, levels
+    concatenated).  Score semantics: ``lib/general.py:155-157``.
+    """
+    confs, ids = [], []
+    for x in outs:
+        b, gh, gw, _ = x.shape
+        nf = x.shape[-1] // na
+        per_anchor_conf, per_anchor_id = [], []
+        for a in range(na):  # 4-D slices: see decode_csl
+            obj = jax.lax.slice_in_dim(x, a * nf + 5, a * nf + 6, axis=3)
+            cls = jax.lax.slice_in_dim(x, a * nf + 6, (a + 1) * nf, axis=3)
+            scores = (jax.nn.sigmoid(cls.astype(jnp.float32))
+                      * jax.nn.sigmoid(obj.astype(jnp.float32)))
+            conf = jnp.max(scores, axis=-1)
+            cls_id = jnp.argmax(scores, axis=-1)
+            per_anchor_conf.append(conf)
+            per_anchor_id.append(cls_id)
+        confs.append(jnp.stack(per_anchor_conf, 1).reshape(b, -1))
+        ids.append(jnp.stack(per_anchor_id, 1).reshape(b, -1))
+    return jnp.concatenate(confs, 1), jnp.concatenate(ids, 1)
+
+
+def deferred_kfiou_box(neck_outs: Sequence[jax.Array], idx: jax.Array,
+                       na: int, anchors: Sequence[jax.Array],
+                       strides: Sequence[int]) -> jax.Array:
+    """Resolve KFIoU boxes for the selected candidates only -> ``(B, k, 5)``.
+
+    ``idx``: ``(B, k)`` global candidate indices in the
+    :func:`decode_kfiou` order.  Gathers each candidate's head-map row and
+    applies the anchor decode (``model/yololayer.py:94-96``) to those k
+    rows alone — bit-identical fields to the full-width decode at ~k/N of
+    the work.  Anchor parameters resolve through a static select chain
+    over the na anchors (a table gather lowers pathologically on TPU for
+    large index shapes — the r3 phantom-gather find).
+    """
+    b, k = idx.shape
+    out = jnp.zeros((b, k, 5), jnp.float32)
+    off = 0
+    for x, anc, stride in zip(neck_outs, anchors, strides):
+        _, gh, gw, C = x.shape
+        nf = C // na
+        hw = gh * gw
+        anc = jnp.asarray(anc, jnp.float32)  # (na, 3): w, h, angle(rad)
+        local = idx - off
+        in_lvl = (local >= 0) & (local < na * hw)
+        anchor = jnp.clip(local // hw, 0, na - 1)
+        pos = jnp.clip(local - anchor * hw, 0, hw - 1)
+        r, c = pos // gw, pos % gw
+        rows = jax.vmap(lambda xb, rb, cb: xb[rb, cb, :])(x, r, c)  # (B,k,C)
+        raw = jnp.zeros((b, k, 5), rows.dtype)
+        anc_wh = jnp.zeros((b, k, 2), jnp.float32)
+        anc_th = jnp.zeros((b, k), jnp.float32)
+        for a in range(na):
+            ch = jax.lax.slice_in_dim(rows, a * nf, a * nf + 5, axis=2)
+            hit = anchor == a
+            raw = jnp.where(hit[..., None], ch, raw)
+            anc_wh = jnp.where(hit[..., None], anc[a, :2], anc_wh)
+            anc_th = jnp.where(hit, anc[a, 2], anc_th)
+        y = jax.nn.sigmoid(raw.astype(jnp.float32))
+        grid = jnp.stack([c, r], -1).astype(jnp.float32)  # (B, k, 2)
+        pxy = (y[..., 0:2] * 2 - 0.5 + grid) * stride
+        pwh = (y[..., 2:4] * 2) ** 2 * anc_wh * stride
+        pth = (y[..., 4] - 0.5) * 0.5236 + anc_th
+        lvl = jnp.concatenate([pxy, pwh, pth[..., None]], -1)
+        out = jnp.where(in_lvl[..., None], lvl, out)
+        off += na * hw
+    return out
+
+
 def decode_kfiou(outs: Sequence[jax.Array], anchors: Sequence[jax.Array],
                  strides: Sequence[int], nc: int) -> jax.Array:
     """Decode KFIoU heads from the RAW neck tensors -> ``(B, Σ, nc+6)``.

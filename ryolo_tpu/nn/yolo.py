@@ -16,7 +16,8 @@ from flax import linen as nn
 
 from ryolo_tpu.nn.backbones import BACKBONES
 from ryolo_tpu.nn.heads import (decode_csl, decode_csl_defer,
-                                decode_kfiou, reshape_head)
+                                decode_kfiou, decode_kfiou_scores,
+                                reshape_head)
 from ryolo_tpu.nn.necks import NECKS
 
 STRIDES = (8, 16, 32)  # fixed, model/yolo.py:21
@@ -98,10 +99,15 @@ class Yolo(nn.Module):
                  decode: bool | str = False):
         """``decode``: False = raw heads only; True = additionally return
         row-tensor predictions ``(B, N, nc+6)`` (reference contract);
-        ``"defer"`` (CSL only) = additionally return ``(rows_no_theta,
-        neck_outs)`` for :func:`ryolo_tpu.eval.postprocess.
-        post_process_defer`, which resolves theta after top-k selection
-        (the full-width 180-bin argmax costs ~4.5 ms/step @800px).
+        ``"defer"`` = additionally return deferred-decode inputs for the
+        matching post-process:
+          * CSL: ``(rows_no_theta, neck_outs)`` for
+            :func:`ryolo_tpu.eval.postprocess.post_process_defer` — theta
+            resolves after top-k selection (the full-width 180-bin argmax
+            costs ~4.5 ms/step @800px);
+          * KFIoU: ``((conf, cls_id), neck_outs)`` for
+            :func:`ryolo_tpu.eval.postprocess.post_process_kfiou_defer` —
+            the whole box decode resolves after top-k selection.
         """
         d3, d4, d5 = self.backbone(images, train)
         x6, x5, x4 = self.neck(d5, d4, d3, train)
@@ -118,17 +124,22 @@ class Yolo(nn.Module):
         # heads.py); when the caller drops the raw outputs, jit then
         # dead-code-eliminates the reshape_head transposes entirely
         if decode == "defer":
-            if self.mode != "csl":
-                raise ValueError("decode='defer' is CSL-only (KFIoU theta "
-                                 "is a plain sigmoid channel)")
-            # one pinned copy of each head map, shared by the box decode
-            # and the deferred-theta gather: without the barrier the decode
-            # cluster relays the conv output {2,0,3,1} and the gather
-            # copies it BACK to the conv layout (~1 ms/step of churn)
+            # one pinned copy of each head map, shared by the score/box
+            # decode and the deferred gathers: without the barrier the
+            # decode cluster relays the conv output {2,0,3,1} and the
+            # gather copies it BACK to the conv layout (~1 ms/step churn)
             heads_pinned = jax.lax.optimization_barrier((x6, x5, x4))
-            dec = decode_csl_defer(heads_pinned, self.anchors, STRIDES,
-                                   self.n_classes)
-            return outs, (dec, heads_pinned)
+            if self.mode == "csl":
+                dec = decode_csl_defer(heads_pinned, self.anchors, STRIDES,
+                                       self.n_classes)
+                return outs, (dec, heads_pinned)
+            # kfiou: defer the ENTIRE box decode — only (conf, cls_id) are
+            # computed full-width; post_process_kfiou_defer resolves boxes
+            # for the selected top-k (the 18-anchor head would otherwise
+            # materialize a (B, N, nc+6) tensor ~6x CSL's row count)
+            scores = decode_kfiou_scores(heads_pinned, self.na,
+                                         self.n_classes)
+            return outs, (scores, heads_pinned)
         fn = decode_csl if self.mode == "csl" else decode_kfiou
         dec = fn((x6, x5, x4), self.anchors, STRIDES, self.n_classes)
         return outs, dec

@@ -19,7 +19,7 @@ from ryolo_tpu.data.datasets import xywha_to_polys_np  # noqa: E402
 
 
 def make_split(out_dir, n_images, img_size, rng, w_range=(0.08, 0.18),
-               ratio=(1.5, 3.0), n_classes=2, max_obj=5):
+               ratio=(1.5, 3.0), n_classes=2, max_obj=5, min_obj=1):
     os.makedirs(out_dir, exist_ok=True)
     palette = [
         tuple(int(c) for c in rng.integers(30, 255, 3))
@@ -28,7 +28,7 @@ def make_split(out_dir, n_images, img_size, rng, w_range=(0.08, 0.18),
     palette[:2] = [(40, 200, 40), (40, 40, 220)]  # keep 2-class colors stable
     for i in range(n_images):
         img = rng.integers(0, 60, (img_size, img_size, 3)).astype(np.uint8)
-        n_obj = int(rng.integers(1, max_obj))
+        n_obj = int(rng.integers(min_obj, max_obj))
         rows = []
         for _ in range(n_obj):
             cls = int(rng.integers(0, n_classes))
@@ -54,10 +54,10 @@ def class_names(n_classes):
 
 
 def main(root, n_images=16, img_size=256, seed=0, w_range=(0.08, 0.18),
-         ratio=(1.5, 3.0), n_classes=2, max_obj=5):
+         ratio=(1.5, 3.0), n_classes=2, max_obj=5, min_obj=1):
     rng = np.random.default_rng(seed)
     kw = dict(w_range=w_range, ratio=ratio, n_classes=n_classes,
-              max_obj=max_obj)
+              max_obj=max_obj, min_obj=min_obj)
     make_split(os.path.join(root, "train"), n_images, img_size, rng, **kw)
     make_split(os.path.join(root, "val"), max(n_images // 2, 2), img_size,
                rng, **kw)

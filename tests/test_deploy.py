@@ -109,6 +109,21 @@ def test_int8_deploy_close_to_f32(ver, mode):
     # box geometry within ~1px at this 64px scale
     assert np.abs(q_dec[..., :4] - f_dec[..., :4]).max() < 1.5
 
+    # calibrated STATIC activation scales (deploy.calibrate_static_scales):
+    # on a calibration batch that covers the eval batch's activation range
+    # the static graph is BIT-identical to the dynamic one (same scale
+    # constants reach the same quantize arithmetic)
+    from ryolo_tpu.nn.deploy import calibrate_static_scales
+
+    s_model, s_vars = calibrate_static_scales(q_model, q_vars, [x])
+    scales = [
+        l for p, l in jax.tree_util.tree_leaves_with_path(s_vars["params"])
+        if p[-1].key == "ascale"
+    ]
+    assert len(scales) > 5, f"only {len(scales)} calibrated scales"
+    _, s_dec = s_model.apply(s_vars, x, train=False, decode=True)
+    np.testing.assert_array_equal(np.asarray(s_dec), q_dec)
+
 
 def test_fused_param_count_shrinks():
     """RepConv 3-branch + BN params disappear from the deployed tree."""

@@ -210,3 +210,62 @@ def test_deferred_theta_matches_full_decode():
         np.testing.assert_array_equal(d1[..., [0, 1, 2, 3, 5, 6]],
                                       d2[..., [0, 1, 2, 3, 5, 6]])
         np.testing.assert_allclose(d1[..., 4], d2[..., 4], atol=1e-6)
+
+
+def test_deferred_kfiou_matches_full_decode():
+    """kfiou decode='defer' + post_process_kfiou_defer == full decode path.
+
+    The fully deferred KFIoU path computes only (conf, cls_id) full-width
+    (heads.decode_kfiou_scores) and resolves x/y/w/h/theta for the top-k
+    selected candidates (heads.deferred_kfiou_box); detections must match
+    the full-width decode_kfiou + post_process_fixed at every confidence
+    load, including the >SMALL_K count-conditioned branch.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from ryolo_tpu.eval.postprocess import (post_process_fixed,
+                                            post_process_kfiou_defer)
+    from ryolo_tpu.nn import Yolo
+    from ryolo_tpu.nn.yolo import STRIDES, make_rotated_anchors
+
+    cfg = {"anchors": [[12, 16, 19, 36, 40, 28],
+                       [36, 75, 76, 55, 72, 146],
+                       [142, 110, 192, 243, 459, 401]],
+           "angles": [-90, -60, -30, 0, 30, 60]}
+    nc = 3
+    model = Yolo(n_classes=nc, model_config=cfg, mode="kfiou", ver="yolov5")
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 64, 64, 3)), train=False)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+
+    angles = [a * math.pi / 180 for a in cfg["angles"]]
+    anchors = make_rotated_anchors(STRIDES, cfg["anchors"], angles)
+
+    _, dec = model.apply(variables, images, train=False, decode=True)
+    _, ((conf, cls_id), neck) = model.apply(variables, images, train=False,
+                                            decode="defer")
+
+    # full-width scores must equal the decoded-tensor score computation
+    dec_np = np.asarray(dec)
+    obj = dec_np[..., 5]
+    cls_scores = dec_np[..., 6:] * obj[..., None]
+    np.testing.assert_array_equal(np.asarray(conf),
+                                  cls_scores.max(-1))
+    np.testing.assert_array_equal(np.asarray(cls_id),
+                                  cls_scores.argmax(-1))
+
+    for thr in (0.2, 0.26):  # random init: scores ~0.25 -> wide and narrow
+        d1, v1 = post_process_fixed(dec, thr, 0.4)
+        d2, v2 = post_process_kfiou_defer((conf, cls_id), neck,
+                                          len(anchors[0]), anchors, STRIDES,
+                                          thr, 0.4)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        d1, d2 = np.asarray(d1), np.asarray(d2)
+        # the two graphs fuse the decode arithmetic differently -> tiny
+        # float slack on the box fields; scores/classes must be exact
+        np.testing.assert_array_equal(d1[..., 5:], d2[..., 5:])
+        np.testing.assert_allclose(d1[..., :5], d2[..., :5],
+                                   rtol=0, atol=1e-4)

@@ -102,9 +102,13 @@ def _ref_test_module():
 
 
 def _read_val_split(root):
-    """Load val images (RGB float CHW, the reference's tensor convention,
-    ``datasets/base_dataset.py:155-157``) + pixel-space target rows."""
-    val = os.path.join(root, "val")
+    return _read_val_split_dir(os.path.join(root, "val"))
+
+
+def _read_val_split_dir(val):
+    """Load a split dir's images (RGB float CHW, the reference's tensor
+    convention, ``datasets/base_dataset.py:155-157``) + pixel-space target
+    rows."""
     names = sorted(f for f in os.listdir(val) if f.endswith(".png"))
     imgs, rows = [], []
     for idx, fname in enumerate(names):
@@ -266,3 +270,87 @@ def test_trained_checkpoint_map_parity(tmp_path, mode):
         )
         assert abs(q_map50 - map50) <= 5e-3, (q_map50, map50)
         assert abs(q_map5095 - map5095) <= 1e-2, (q_map5095, map5095)
+
+
+@pytest.mark.slow
+def test_trained_parity_dota_density(tmp_path):
+    """Cross-framework mAP parity at DOTA-like matching density.
+
+    The ±0.5-mAP bar is only hard where matching is hard: crowded
+    same-class targets make the reference's greedy max-IoU dedup
+    (``/root/reference/test.py:130-144``) order-dependent, and any
+    divergence in candidate ordering, NMS tie behavior, or the matcher's
+    detected-set semantics shows up as a mAP gap.  Trains the usual tiny
+    CSL overfit, then evaluates BOTH frameworks on a DENSE val split —
+    ≥60 crowded targets per image at the trained object scale — and
+    asserts the two eval stacks still agree within the BASELINE gate
+    (VERDICT r3 item 7).
+    """
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_synth_data import main as make_synth, make_split
+
+    from ryolo_tpu.eval.evaluator import evaluate
+    from ryolo_tpu.nn import fuse_for_inference
+    from ryolo_tpu.utils.checkpoint import save_pth
+
+    root = str(tmp_path / "synth")
+    make_synth(root, n_images=8, img_size=IMG, seed=11,
+               w_range=(0.18, 0.28), ratio=(1.2, 1.6))
+    model, variables = _train_overfit(root, mode="csl")
+    pth = str(tmp_path / "trained.pth")
+    save_pth(variables, "yolov5", pth)
+
+    # Dense split at 2x resolution, SAME object pixel size as training
+    # (0.09-0.14 × 192 px ≈ 0.18-0.28 × 96 px): the detector fires on
+    # dozens of crowded instances per scene.
+    dense_img = IMG * 2
+    dense_dir = str(tmp_path / "dense_val")
+    rng = np.random.default_rng(23)
+    make_split(dense_dir, n_images=4, img_size=dense_img, rng=rng,
+               w_range=(0.09, 0.14), ratio=(1.2, 1.6), min_obj=60,
+               max_obj=81)
+
+    imgs, target_rows = _read_val_split_dir(dense_dir)
+    per_image = np.bincount(target_rows[:, 0].astype(int), minlength=4)
+    assert per_image.min() >= 60, per_image  # the density this test is about
+
+    data = {"val": dense_dir, "names": ["a", "b"], "type": "custom"}
+    dep_model, dep_vars = fuse_for_inference(model, variables)
+    _, _, map50, map5095, _ = evaluate(
+        dep_model, dep_vars, None, data, HYP, True, dense_img, 2,
+        conf_thres=0.001, iou_thres=0.65, max_targets=96, progress=False,
+    )
+
+    ref_test = _ref_test_module()
+    from model.yolo import Yolo as RefYolo
+
+    ref_model = RefYolo(NC, MODEL_CFG, "csl", "yolov5")
+    ref_model.load_state_dict(
+        torch.load(pth, map_location="cpu", weights_only=False)
+    )
+    ref_model.eval()
+
+    iouv = torch.linspace(0.5, 0.95, 10)
+    stats = []
+    n_det = 0
+    with torch.no_grad():
+        for i in range(0, len(imgs), 2):
+            chunk = torch.from_numpy(imgs[i:i + 2])
+            _, infer = ref_model(chunk, training=False)
+            outputs = ref_test.post_process(infer, conf_thres=0.001,
+                                            iou_thres=0.65)
+            n_det += sum(0 if o is None else len(o) for o in outputs)
+            rows = target_rows[np.isin(target_rows[:, 0],
+                                       np.arange(i, i + 2))].copy()
+            rows[:, 0] -= i
+            stats += ref_test.get_batch_statistics(
+                outputs, torch.from_numpy(rows), iouv, len(iouv)
+            )
+    stats = [np.concatenate(x, 0) for x in zip(*stats)]
+    (_, _, _, _, _, _, _, _, _, ref_map50, ref_map5095
+     ) = ref_test.calculate_eval_stats(stats, NC)
+
+    # the matcher must have real work: many detections over many targets
+    assert n_det >= 100, n_det
+    assert abs(map50 - ref_map50) <= 5e-3, (map50, ref_map50)
+    assert abs(map5095 - ref_map5095) <= 5e-3, (map5095, ref_map5095)
