@@ -126,14 +126,33 @@ def post_process_fixed(predictions: jax.Array, conf_thres: float,
     """
     B, N, _ = predictions.shape
 
-    obj = predictions[..., 5]
-    cls_scores = predictions[..., 6:] * obj[..., None]
-    conf = jnp.max(cls_scores, axis=-1)
-    cls_id = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
+    conf, cls_id = _class_max(predictions)
     sel = jnp.where(conf > conf_thres, conf, -1.0)
 
     payload = [predictions[..., i] for i in range(5)] + [cls_id]
     return _pp_tail(payload, sel, N, iou_thres, max_nms, max_det, use_topk)
+
+
+def _class_max(predictions):
+    """``max/argmax`` of ``cls·obj`` over the class axis, fused.
+
+    ``jnp.max/argmax`` over the (minor, < lane-width) class dim of the
+    ``(B, N, nc+6)`` decoded tensor lowers to a narrow iota-reduce
+    (profiled ~0.6 ms per reduce @800px); an elementwise select chain
+    over per-class slices fuses into one pass.  Identical results: same
+    f32 products (``lib/general.py:155-157``), ascending class order +
+    strict ``>`` reproduces argmax's first-max-wins tie rule.
+    """
+    nc = predictions.shape[-1] - 6
+    obj = predictions[..., 5]
+    conf = predictions[..., 6] * obj
+    cls_id = jnp.zeros_like(conf, jnp.int32)
+    for c in range(1, nc):
+        s = predictions[..., 6 + c] * obj
+        hit = s > conf
+        conf = jnp.where(hit, s, conf)
+        cls_id = jnp.where(hit, c, cls_id)
+    return conf, cls_id.astype(jnp.float32)
 
 
 def deferred_theta(neck_outs, idx, na: int, nc: int):
@@ -189,10 +208,7 @@ def post_process_defer(predictions, neck_outs, na: int, nc: int,
     theta_fn = lambda idx: deferred_theta(neck_outs, idx, na, nc)  # noqa: E731
 
     B, N, _ = predictions.shape
-    obj = predictions[..., 5]
-    cls_scores = predictions[..., 6:] * obj[..., None]
-    conf = jnp.max(cls_scores, axis=-1)
-    cls_id = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
+    conf, cls_id = _class_max(predictions)
     sel = jnp.where(conf > conf_thres, conf, -1.0)
     payload = [predictions[..., i] for i in range(5)] + [cls_id]
     return _pp_tail(payload, sel, N, iou_thres, max_nms, max_det, None,

@@ -160,20 +160,38 @@ def decode_kfiou_scores(outs: Sequence[jax.Array], na: int,
     """
     confs, ids = [], []
     for x in outs:
-        b, gh, gw, _ = x.shape
-        nf = x.shape[-1] // na
-        per_anchor_conf, per_anchor_id = [], []
-        for a in range(na):  # 4-D slices: see decode_csl
-            obj = jax.lax.slice_in_dim(x, a * nf + 5, a * nf + 6, axis=3)
-            cls = jax.lax.slice_in_dim(x, a * nf + 6, (a + 1) * nf, axis=3)
-            scores = (jax.nn.sigmoid(cls.astype(jnp.float32))
-                      * jax.nn.sigmoid(obj.astype(jnp.float32)))
-            conf = jnp.max(scores, axis=-1)
-            cls_id = jnp.argmax(scores, axis=-1)
-            per_anchor_conf.append(conf)
-            per_anchor_id.append(cls_id)
-        confs.append(jnp.stack(per_anchor_conf, 1).reshape(b, -1))
-        ids.append(jnp.stack(per_anchor_id, 1).reshape(b, -1))
+        b, gh, gw, C = x.shape
+        nf = C // na
+        nc_lvl = nf - 6
+
+        # max/argmax over the class channels as ONE dependent elementwise
+        # select chain over per-CLASS strided slices (all na anchors at
+        # once).  ``jnp.max/argmax`` lower to one narrow iota-reduce per
+        # anchor (profiled 0.59 ms × 18 = 10.6 ms/step @800px, a third of
+        # the KFIoU detect step), and per-ANCHOR select chains are no
+        # better (18 independent multi-output fusions, each re-reading
+        # every lane tile of the interleaved head map: 12.4 ms) — a
+        # single chain with one (conf, cls_id) output fuses into one
+        # pass.  Tie-exact with argmax: identical f32 σ·σ products,
+        # ascending class order + strict ``>`` keeps first-max-wins.
+        def stride_slice(f):  # channels f, nf+f, ..., (na-1)·nf+f
+            return jax.lax.slice(x, (0, 0, 0, f),
+                                 (b, gh, gw, (na - 1) * nf + f + 1),
+                                 (1, 1, 1, nf))  # (B, gh, gw, na)
+
+        sobj = jax.nn.sigmoid(stride_slice(5).astype(jnp.float32))
+        conf = jax.nn.sigmoid(stride_slice(6).astype(jnp.float32)) * sobj
+        cls_id = jnp.zeros_like(conf, jnp.int32)
+        for c in range(1, nc_lvl):
+            s = jax.nn.sigmoid(stride_slice(6 + c).astype(jnp.float32)) \
+                * sobj
+            hit = s > conf
+            conf = jnp.where(hit, s, conf)
+            cls_id = jnp.where(hit, c, cls_id)
+
+        # anchor-major candidate order (matches decode_kfiou)
+        confs.append(jnp.transpose(conf, (0, 3, 1, 2)).reshape(b, -1))
+        ids.append(jnp.transpose(cls_id, (0, 3, 1, 2)).reshape(b, -1))
     return jnp.concatenate(confs, 1), jnp.concatenate(ids, 1)
 
 
