@@ -524,9 +524,13 @@ def bench_train(img: int, batch: int, iters: int = 12,
         "tgt_mask": jnp.asarray(np.ones((batch, T), bool)),
     }
     n_pool = 2 if mini else 4
+    # images pre-uploaded in the model's compute dtype: the first conv
+    # casts to it anyway (bit-identical), the in-step full-res convert
+    # (profiled ~4 ms/step @800px) disappears, and upload bytes halve
     device_batches = [
         dict(base, images=jnp.asarray(
-            rng.uniform(0, 1, (batch, img, img, 3)), jnp.float32))
+            rng.uniform(0, 1, (batch, img, img, 3)).astype(np.float32),
+            dtype))
         for _ in range(n_pool)
     ]
     lr, acc = jnp.float32(1e-4), jnp.int32(1)
@@ -594,7 +598,7 @@ def bench_train(img: int, batch: int, iters: int = 12,
                 sa = {k: jnp.asarray(np.asarray(v))
                       for k, v in b.items() if k != "paths"}
                 images = render_batch(sa, n_out=batch, bank=bank,
-                                      method=render_method)
+                                      method=render_method, out_dtype=dtype)
                 arrays = {"images": images, "tgt": sa["tgt"],
                           "tgt_csl": sa["tgt_csl"],
                           "tgt_mask": sa["tgt_mask"]}
@@ -649,12 +653,18 @@ def bench_train(img: int, batch: int, iters: int = 12,
         jax.block_until_ready(imgs)
         r_iters = 8
         # chained + fetch-forced (see module docstring): each iter's
-        # (invisible, ~4e-6) HSV-gain bump derives from the previous
-        # image, so the final 4-byte fetch forces all r_iters renders
+        # HSV-gain bump derives from the previous image, so the final
+        # 4-byte fetch forces all r_iters renders.  The bump must be
+        # RELATIVE and above the f32 ulp of a ~1.0 gain (an additive
+        # chk*1e-9 bump rounds to the SAME bits — the tunnel then dedups
+        # every render and the loop measures 8 RTT-bound checksum
+        # programs instead: 413 "ms/batch" vs the ~55 the train loop
+        # implies — the ADVICE r3 below-ulp bug pattern)
         chk = jnp.float32(fresh_seed())
         t0 = time.perf_counter()
         for _ in range(r_iters):
-            s = dict(sa, spec_hsv=sa["spec_hsv"] + chk * 1e-9)
+            s = dict(sa, spec_hsv=sa["spec_hsv"]
+                     * (1.0 + (chk % 97.0) * 1e-5))
             img_r = render_batch(s, n_out=batch, bank=bank,
                                  method=render_method)
             chk = img_r[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1

@@ -387,9 +387,10 @@ def _render_pallas(canvas_fn, minv, out_size: int):
     return warp_canvas_batch(canvases, minv, out_size)
 
 
-@functools.partial(jax.jit, static_argnames=("n_out", "method"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_out", "method", "out_dtype"))
 def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
-                 n_out: int, method: str = "taps"):
+                 n_out: int, method: str = "taps", out_dtype: str = "f"):
     """Render a batch of specs -> (n_out, s, s, 3) float32 RGB in [0, 1].
 
     Spec slots ≥ ``n_out`` are mixup partners only.  See module docstring
@@ -409,13 +410,14 @@ def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
         imgs = jax.vmap(
             lambda t, r, o, g, m: fn(t, rows, r, o, g, m, s)
         )(tiles, region, offset, hsv, minv)      # (B, s, s, 3) in [0,255]
-    return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
+    return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out, out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_out", "method"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_out", "method", "out_dtype"))
 def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
                         mix_idx, mix_r, n_out: int,
-                        method: str = "taps"):
+                        method: str = "taps", out_dtype: str = "f"):
     """:func:`render_specs` gathering tiles from a device-RESIDENT bank.
 
     ``bank`` is the whole decoded dataset — (N, s, s, 3) uint8 RGB, each
@@ -441,7 +443,7 @@ def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
         imgs = jax.vmap(
             lambda ti, r, o, g, m: fn(bank, ti, r, o, g, m, s)
         )(tile_idx, region, offset, hsv, minv)
-    return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out)
+    return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out, out_dtype)
 
 
 def pick_method(hyp, out_size: int) -> str:
@@ -461,7 +463,8 @@ def pick_method(hyp, out_size: int) -> str:
     return "canvas"
 
 
-def render_batch(arrays, n_out: int, bank=None, method: str = "taps"):
+def render_batch(arrays, n_out: int, bank=None, method: str = "taps",
+                 out_dtype=None):
     """Dispatch a loader spec batch (dict of jax arrays) to the renderer.
 
     Banked batches carry ``spec_tile_idx`` (needs ``bank``); pixel batches
@@ -470,20 +473,30 @@ def render_batch(arrays, n_out: int, bank=None, method: str = "taps"):
     production canvas + packed-block path) or "taps" (the 4-tap reference
     implementation) — the two are bit-identical; "taps" exists as the
     plainly-readable semantics spec and for differential testing.
+
+    ``out_dtype``: cast the rendered images inside the jitted render
+    program (fuses into the flip/mix tail).  Pass the train step's compute
+    dtype (bf16): the model casts its input to that dtype at the first
+    conv anyway, so the values are bit-identical while the standalone
+    in-step convert of the full-resolution image (profiled ~4 ms/step
+    @800px B8 — the 3-channel minor layout converts pathologically) and
+    half the renderer→step HBM traffic disappear.
     """
     common = (arrays["spec_region"], arrays["spec_offset"],
               arrays["spec_hsv"], arrays["spec_minv"], arrays["spec_flip"],
               arrays["spec_mix_idx"], arrays["spec_mix_r"])
+    dt = jnp.dtype(out_dtype).name if out_dtype is not None else "f"
     if "spec_tile_idx" in arrays:
         if bank is None:
             raise ValueError("banked spec batch needs the uploaded tile bank")
         return render_specs_banked(bank, arrays["spec_tile_idx"], *common,
-                                   n_out=n_out, method=method)
+                                   n_out=n_out, method=method, out_dtype=dt)
     return render_specs(arrays["spec_tiles"], *common, n_out=n_out,
-                        method=method)
+                        method=method, out_dtype=dt)
 
 
-def _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out: int):
+def _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out: int,
+                   out_dtype: str = "f"):
     base = imgs[:n_out]
     has_mix = mix_idx[:n_out] >= 0
     partner = jnp.take(imgs, jnp.maximum(mix_idx[:n_out], 0), axis=0)
@@ -497,4 +510,6 @@ def _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out: int):
     do_ud = flip[:n_out, 1][:, None, None, None]
     out = jnp.where(do_lr, out[:, :, ::-1, :], out)
     out = jnp.where(do_ud, out[:, ::-1, :, :], out)
-    return out / 255.0
+    out = out / 255.0
+    # same rounding as the consumer's own input cast (f32 /255 then cast)
+    return out.astype(jnp.dtype(out_dtype)) if out_dtype != "f" else out

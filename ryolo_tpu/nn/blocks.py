@@ -51,7 +51,25 @@ ACTIVATIONS: dict[str, Callable] = {
 
 
 def max_pool_same(x, k: int):
-    """k×k stride-1 max pool with same-size output (-inf padding), NHWC."""
+    """k×k stride-1 max pool with same-size output (-inf padding), NHWC.
+
+    Windows 9 and 13 run as cascaded 5-pools (max is associative and the
+    -inf pad composes, so ``pool5∘pool5 == pool9`` and ``pool5³ == pool13``
+    elementwise-exactly — the SPPF trick, ``model/utils.py:247-261``,
+    applied to SPP/SPPCSPC's 5/9/13 pyramid).  Forward values are
+    bit-identical; the payoff is the backward: XLA lowers max-pool grad to
+    ``select_and_scatter``, whose cost scales with the window AREA
+    (profiled 4.1 + 3.9 ms/step of the @800px train step for the single
+    9/13 windows; the cascade does 2-3 window-5 passes instead, 50/75 vs
+    81/169 compares).  Gradient tie-ROUTING can differ on exactly-equal
+    window maxima (first-max of the composition vs of the flat window) —
+    gradients have no cross-framework parity contract (the reference's
+    torch maxpool routes ties differently from XLA anyway).
+    """
+    if k == 9:
+        return max_pool_same(max_pool_same(x, 5), 5)
+    if k == 13:
+        return max_pool_same(max_pool_same(max_pool_same(x, 5), 5), 5)
     p = k // 2
     return nn.max_pool(x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)])
 

@@ -356,9 +356,16 @@ def calibrate_static_scales(model, variables, batches):
     a constant ``ascale`` instead of reducing the activation tensor —
     removing one full HBM pass + fusion barrier per quantized conv.
 
-    Numerics: identical to the dynamic path whenever a batch's activation
-    max does not exceed its calibrated max (values beyond it clip at
-    ±127, the standard post-training-quantization behavior).
+    Numerics: the calibrated scale values are bit-identical to the
+    dynamic reduce (whenever a batch's activation max does not exceed the
+    calibrated max; beyond it values clip at ±127, the standard
+    post-training-quantization behavior), but outputs are NOT bit-equal:
+    XLA constant-folds/reassociates the conv epilogue around a constant
+    ``ascale`` differently than around the in-graph reduce, and through a
+    deep quantized-conv chain those one-ulp diffs flip round()
+    requantization boundaries.  tests/test_deploy.py pins the static path
+    to the same functional envelope as int8-vs-f32; the mAP gate lives in
+    tests/test_trained_parity.py.
     """
     import jax
     import jax.numpy as jnp

@@ -58,11 +58,14 @@ def main():
     n_specs = sa["spec_minv"].shape[0]
     print(f"spec batch: {n_specs} specs @ {args.img}px", flush=True)
 
-    # chained + fetch-forced: each iter's (invisible ~1e-6) HSV-gain bump
-    # derives from the previous image and the chain seed is fresh OS
-    # entropy, so the single final 4-byte fetch forces every execution —
-    # the axon tunnel dedups repeated inputs and does not reliably execute
-    # on block_until_ready (see bench.py module docstring)
+    # chained + fetch-forced: each iter's HSV-gain bump derives from the
+    # previous image and the chain seed is fresh OS entropy, so the single
+    # final 4-byte fetch forces every execution — the axon tunnel dedups
+    # repeated inputs and does not reliably execute on block_until_ready
+    # (see bench.py module docstring).  The bump is RELATIVE and above the
+    # f32 ulp of a ~1.0 gain: an additive chk*1e-9 bump rounds to the same
+    # bits, the renders dedup, and the loop measures RTT-bound checksum
+    # programs instead (the ADVICE r3 below-ulp bug pattern).
     outs = {}
     for method in ("canvas", "pallas"):
         img = render_batch(sa, n_out=args.batch, bank=bank, method=method)
@@ -72,7 +75,8 @@ def main():
             / 2048.0)
         t0 = time.perf_counter()
         for _k in range(args.iters):
-            s = dict(sa, spec_hsv=sa["spec_hsv"] + chk * 1e-9)
+            s = dict(sa, spec_hsv=sa["spec_hsv"]
+                     * (1.0 + (chk % 97.0) * 1e-5))
             img = render_batch(s, n_out=args.batch, bank=bank,
                                method=method)
             chk = img[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1

@@ -42,14 +42,45 @@ def device_op_table(trace_dir: str, steps: int):
             agg[e.get("name", "")] = agg.get(e.get("name", ""), 0.0) \
                 + e.get("dur", 0)
     return {k: v / (1000.0 * steps) for k, v in agg.items()
-            if not k.startswith("jit_")}
+            if not k.startswith("jit_") and not k.isdigit()}
 
 
-def print_table(agg, top: int, batch: int):
+def hlo_labels(hlo: str):
+    """op name -> source op_name label, from HLO text (see prof_step.py)."""
+    import re
+
+    calls = dict(re.findall(
+        r"%([\w.-]+) = [^\n]*? fusion\([^\n]*?calls=%([\w.-]+)", hlo))
+    comp_meta = {}
+    cur = None
+    for line in hlo.splitlines():
+        m = re.match(r"^%([\w.-]+) \(", line)
+        if m:
+            cur = m.group(1)
+            comp_meta[cur] = []
+        elif cur is not None:
+            om = re.search(r'op_name="[^/"]+/([^"]+)"', line)
+            if om:
+                comp_meta[cur].append(om.group(1))
+        if line.strip() == "}":
+            cur = None
+    direct = {m.group(1): m.group(2) for m in re.finditer(
+        r"%([\w.-]+) = [^\n]*?metadata=\{op_name=\"[^/\"]+/([^\"]+)\"", hlo)}
+    labels = {}
+    for name, comp in calls.items():
+        if comp_meta.get(comp):
+            labels[name] = comp_meta[comp][0]
+    for name, lbl in direct.items():
+        labels.setdefault(name, lbl)
+    return labels
+
+
+def print_table(agg, top: int, batch: int, hlo: str = ""):
+    labels = hlo_labels(hlo) if hlo else {}
     tot = sum(agg.values())
     print(f"total {tot:.2f} ms/step ({batch / tot * 1000:.0f} img/s)")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{ms:8.3f}  {name}")
+        print(f"{ms:8.3f}  {name:34s} {labels.get(name, '')[:100]}")
 
 
 HYP = {"box": 0.05, "obj": 1.0, "cls": 0.5, "obj_pw": 1.0, "cls_pw": 1.0,
@@ -95,8 +126,9 @@ def prof_train(args):
     bins = csl_gaussian_labels_np(
         tgt[..., 5] * 180 / np.pi + 90).reshape(B, T, 180)
     batches = [
-        {"images": jnp.asarray(rng.uniform(0, 1, (B, img, img, 3)),
-                               jnp.float32),
+        {"images": jnp.asarray(
+            rng.uniform(0, 1, (B, img, img, 3)).astype(np.float32),
+            jnp.bfloat16),
          "tgt": jnp.asarray(tgt), "tgt_csl": jnp.asarray(bins),
          "tgt_mask": jnp.asarray(np.ones((B, T), bool))}
         for _ in range(2)
@@ -112,7 +144,10 @@ def prof_train(args):
             state, loss, _ = trainer.train_step(state, batches[i % 2], lr,
                                                 acc)
         assert np.isfinite(float(loss))  # forces the chain
-    print_table(device_op_table(td, steps), args.top, args.batch)
+    # .lower on the jit object does not descriptor-bind self; pass it
+    hlo = Trainer.train_step.lower(trainer, state, batches[0], lr,
+                                   acc).compile().as_text()
+    print_table(device_op_table(td, steps), args.top, args.batch, hlo)
 
 
 def prof_eval(args):
@@ -153,7 +188,8 @@ def prof_eval(args):
             dets, valid, _ = step(variables, b)
             chk = dets[0, 0, 0] + (chk % 64.0) + 1.0
         assert np.isfinite(float(chk))
-    print_table(device_op_table(td, steps), args.top, args.batch)
+    hlo = step.lower(variables, batches[0]).compile().as_text()
+    print_table(device_op_table(td, steps), args.top, args.batch, hlo)
 
 
 def prof_render(args):
@@ -190,14 +226,29 @@ def prof_render(args):
     with jax.profiler.trace(td):
         chk = jnp.float32(1.0)
         for _ in range(steps):
-            s = dict(sa, spec_hsv=sa["spec_hsv"] + chk * 1e-9)
+            # relative above-ulp bump: an additive 1e-9 bump rounds to the
+            # same f32 bits and the tunnel dedups the renders
+            s = dict(sa, spec_hsv=sa["spec_hsv"]
+                     * (1.0 + (chk % 97.0) * 1e-5))
             img = render_batch(s, n_out=args.batch, bank=bank,
                                method=method)
             chk = img[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1
         assert np.isfinite(float(chk))
     wall = (time.perf_counter() - t0) / steps * 1e3
     print(f"wall {wall:.1f} ms/batch ({method})")
-    print_table(device_op_table(td, steps), args.top, args.batch)
+    from ryolo_tpu.data.device_augment import render_specs_banked
+
+    hlo = ""
+    try:
+        common = (sa["spec_region"], sa["spec_offset"], sa["spec_hsv"],
+                  sa["spec_minv"], sa["spec_flip"], sa["spec_mix_idx"],
+                  sa["spec_mix_r"])
+        hlo = render_specs_banked.lower(
+            bank, sa["spec_tile_idx"], *common, n_out=args.batch,
+            method=method).compile().as_text()
+    except Exception as e:  # noqa: BLE001
+        print(f"# hlo labeling failed: {e!r}")
+    print_table(device_op_table(td, steps), args.top, args.batch, hlo)
 
 
 def prof_kfiou(args):
@@ -219,7 +270,7 @@ def prof_kfiou(args):
     td = tempfile.mkdtemp(prefix="prof_kfiou_")
     with jax.profiler.trace(td):
         bench.chain_loop(fn, batches, 6)
-    print_table(device_op_table(td, 6), args.top, args.batch)
+    print_table(device_op_table(td, 6), args.top, args.batch, fn.as_text())
 
 
 def main():

@@ -110,9 +110,15 @@ def test_int8_deploy_close_to_f32(ver, mode):
     assert np.abs(q_dec[..., :4] - f_dec[..., :4]).max() < 1.5
 
     # calibrated STATIC activation scales (deploy.calibrate_static_scales):
-    # on a calibration batch that covers the eval batch's activation range
-    # the static graph is BIT-identical to the dynamic one (same scale
-    # constants reach the same quantize arithmetic)
+    # the scale VALUES are bit-identical to the dynamic reduce (the sowed
+    # device max round-trips through host f32 exactly), but the OUTPUTS
+    # are not bit-equal: XLA constant-folds/reassociates the conv epilogue
+    # around a constant ascale differently than around the in-graph
+    # reduce, and through ~20 chained quantized convs those one-ulp input
+    # diffs flip round() requantization boundaries and avalanche (measured
+    # up to 46% of decoded elements differing at ≤0.4% relative).  The
+    # honest contract is the same functional envelope as int8-vs-f32; the
+    # mAP-level gate lives in tests/test_trained_parity.py.
     from ryolo_tpu.nn.deploy import calibrate_static_scales
 
     s_model, s_vars = calibrate_static_scales(q_model, q_vars, [x])
@@ -122,7 +128,11 @@ def test_int8_deploy_close_to_f32(ver, mode):
     ]
     assert len(scales) > 5, f"only {len(scales)} calibrated scales"
     _, s_dec = s_model.apply(s_vars, x, train=False, decode=True)
-    np.testing.assert_array_equal(np.asarray(s_dec), q_dec)
+    s_dec = np.asarray(s_dec)
+    assert np.abs(s_dec[..., 5:] - q_dec[..., 5:]).max() < 0.05
+    assert np.abs(s_dec[..., :4] - q_dec[..., :4]).max() < 1.5
+    assert np.abs(s_dec[..., 5:] - f_dec[..., 5:]).max() < 0.05
+    assert np.abs(s_dec[..., :4] - f_dec[..., :4]).max() < 1.5
 
 
 def test_fused_param_count_shrinks():

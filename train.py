@@ -230,10 +230,14 @@ class Train:
 
                     sa = {k: jnp.asarray(v) for k, v in batch.items()
                           if k != "paths"}
+                    # render straight to the model's compute dtype: the
+                    # first conv casts anyway (bit-identical) and the
+                    # full-res in-step convert disappears
                     images = render_batch(sa, n_out=args.batch_size,
                                           bank=tile_bank,
                                           method=pick_method(hyp_cfg,
-                                                             args.img_size))
+                                                             args.img_size),
+                                          out_dtype=model.dtype)
                     batch = {"images": images, "tgt": sa["tgt"],
                              "tgt_mask": sa["tgt_mask"]}
                     if "tgt_csl" in sa:
