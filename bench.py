@@ -334,17 +334,20 @@ def bench_eval_ips(model, variables, n_images: int = 48):
     batches = [dict(b) for b in loader]
     load_s = time.perf_counter() - t0
 
-    # pre-upload to device, same convention as the detect headline (the
-    # axon tunnel moves the image batches at ~tens of MB/s — a
+    # pre-upload the IMAGES to device, same convention as the detect
+    # headline (the axon tunnel moves image batches at ~tens of MB/s — a
     # host-attached deployment pays none of that); upload time is charged
-    # to the e2e number
+    # to the e2e number.  Targets stay HOST-resident: the matcher needs
+    # them back on host, and a device-resident target costs a blocking
+    # D2H round-trip per batch inside the measured loop
     t0 = time.perf_counter()
     batches = [
-        {k: jax.device_put(np.asarray(v)) for k, v in b.items()
-         if k != "paths"}
+        {k: (jax.device_put(np.asarray(v)) if k == "images"
+             else np.asarray(v))
+         for k, v in b.items() if k != "paths"}
         for b in batches
     ]
-    jax.block_until_ready([list(b.values()) for b in batches])
+    jax.block_until_ready([b["images"] for b in batches])
     load_s += time.perf_counter() - t0
 
     # pre-upload the deploy-fused weights once (they fold on host as numpy;

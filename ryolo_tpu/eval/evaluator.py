@@ -149,14 +149,16 @@ def _eval_step_fn(model, loss_fn, conf_thres, iou_thres, max_nms, max_det):
 def _pad_batch(arrays: Dict[str, np.ndarray], full: int):
     """Zero-pad a short final batch to the full batch size (static shapes;
     padded rows have all-False target masks and contribute no stats).
-    Works on host numpy and device-resident jax arrays alike."""
+    Per-key host/device dispatch: a batch may mix device-resident images
+    with host targets (the bench pre-uploads only the images — host
+    targets avoid a blocking per-batch D2H round-trip later)."""
     short = arrays["images"].shape[0]
     if short == full:
         return arrays
-    xp = jnp if isinstance(arrays["images"], jax.Array) else np
     return {
-        k: xp.concatenate(
-            [v, xp.zeros((full - short,) + v.shape[1:], v.dtype)], 0
+        k: (jnp if isinstance(v, jax.Array) else np).concatenate(
+            [v, (jnp if isinstance(v, jax.Array) else np).zeros(
+                (full - short,) + v.shape[1:], v.dtype)], 0
         )
         for k, v in arrays.items()
     }
@@ -257,7 +259,7 @@ def evaluate(
     import collections
     import concurrent.futures as cf
 
-    PIPELINE = 2
+    PIPELINE = 3
     in_flight = collections.deque()
     stat_futures = []
 
@@ -266,6 +268,9 @@ def evaluate(
         (dets, valid, loss_items), tgt, mask, real_b = in_flight.popleft()
         for k, v in loss_items.items():
             total_loss_items[k] = total_loss_items.get(k, 0.0) + float(v)
+        # ONE combined host fetch: on tunnel-attached hosts each fetch
+        # pays a round-trip, and dets+valid fetched separately cost two
+        dets, valid = jax.device_get((dets, valid))
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         outputs_list = [dets[b][valid[b]] for b in range(real_b)]
@@ -282,12 +287,18 @@ def evaluate(
             n_batches += 1
 
             if isinstance(batch["images"], jax.Array):
-                # device-resident batch (bench pre-uploads: on tunnel-
+                # device-resident images (bench pre-uploads: on tunnel-
                 # attached hosts the ~60 MB/batch f32 image upload otherwise
-                # dominates the measured step)
+                # dominates the measured step).  Targets may still be host
+                # arrays — preferable, since device-resident targets must
+                # be fetched BACK for the matcher at a blocking round-trip
+                # per batch
                 arrays = {k: v for k, v in batch.items() if k != "paths"}
                 arrays = _pad_batch(arrays, batch_size)
-                tgt_dev, mask_dev = arrays["tgt"], arrays["tgt_mask"]
+                if isinstance(arrays["tgt"], jax.Array):
+                    tgt_dev, mask_dev = arrays["tgt"], arrays["tgt_mask"]
+                else:
+                    tgt_dev, mask_dev = None, None
             else:
                 arrays = {k: np.asarray(v) for k, v in batch.items()
                           if k != "paths"}

@@ -61,7 +61,7 @@ def _iou_block(a: jax.Array, b: jax.Array, pallas: bool) -> jax.Array:
                                     "pallas"))
 def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
                        iou_threshold: jax.Array, max_keep: int = 1500,
-                       chunk: int = 64, presorted: bool = False,
+                       chunk: int | None = None, presorted: bool = False,
                        pallas: bool | None = None):
     """Greedy rotated NMS on a fixed-size padded candidate set.
 
@@ -89,6 +89,15 @@ def nms_rotated_masked(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
         return jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool)
     if pallas is None:
         pallas = _use_pallas_default()
+    if chunk is None:
+        # results are chunk-independent (greedy semantics hold by
+        # construction); the knob only trades loop overhead against
+        # wasted tail work.  Measured @eval load (5000 cands, 1500 keep):
+        # the per-block Pallas IoU is WORK-bound (~1.3 ns/pair-clip ≈ the
+        # S–H VPU flop floor), so wider chunks/tiles only ADD dead-slot
+        # pair work (chunk 128 + tile 512: 12.6 → 16.7 ms/step) — 64 is
+        # the sweet spot
+        chunk = 64
     m = min(max_keep, k)
     c = min(chunk, k)
     k_pad = ((k + c - 1) // c) * c

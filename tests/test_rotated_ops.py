@@ -176,6 +176,30 @@ class TestNMS:
             assert len(want) > max_keep  # the cap must actually bind
             np.testing.assert_array_equal(got, want[:max_keep])
 
+    def test_chunk_width_independence_at_eval_load(self):
+        """Greedy semantics are chunk-width-independent by construction:
+        a wide-chunk run at eval-like load must reproduce the default
+        kept sequence exactly (the knob only trades loop overhead against
+        dead-slot pair work — see nms_rotated_masked)."""
+        import jax.numpy as jnp
+
+        from ryolo_tpu.ops.rotated_nms import nms_rotated_masked
+
+        n = 2200
+        boxes = rand_d2_boxes(n, 77, spread=900.0)
+        scores = np.sort(np.random.default_rng(7).uniform(
+            0.01, 1, n).astype(np.float32))[::-1].copy()
+        valid = jnp.ones(n, bool)
+        args = (jnp.asarray(boxes), jnp.asarray(scores), valid,
+                jnp.float32(0.4))
+        o_auto, k_auto = nms_rotated_masked(*args, max_keep=257,
+                                            chunk=128, presorted=True,
+                                            pallas=False)
+        o_64, k_64 = nms_rotated_masked(*args, max_keep=257, chunk=64,
+                                        presorted=True, pallas=False)
+        np.testing.assert_array_equal(np.asarray(o_auto)[np.asarray(k_auto)],
+                                      np.asarray(o_64)[np.asarray(k_64)])
+
     def test_masked_padding_rows_never_kept(self):
         boxes = np.zeros((8, 5), np.float32)
         boxes[:, 2:4] = 1.0
