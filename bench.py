@@ -708,11 +708,22 @@ def run_stage(stage: str, args, timeout: int = 2400) -> dict:
     """
     import subprocess
 
-    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
-           "--dtype", args.dtype, "--mode", args.mode, "--ver", args.ver,
-           "--img", str(args.img), "--batch", str(args.batch)]
-    if args.no_deploy:
-        cmd.append("--no-deploy")
+    if stage == "int8":
+        # full headline path at --dtype int8 (calibrated static scales),
+        # in its own process so the quantized weights/executables release
+        # before the bf16 headline compiles
+        cmd = [sys.executable, os.path.abspath(__file__), "--dtype",
+               "int8", "--mode", args.mode, "--ver", args.ver,
+               "--img", str(args.img), "--batch", str(args.batch),
+               "--no-train", "--no-eval", "--headline-only",
+               "--iters", str(args.iters)]
+    else:
+        cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
+               "--dtype", args.dtype, "--mode", args.mode, "--ver",
+               args.ver, "--img", str(args.img), "--batch",
+               str(args.batch)]
+        if args.no_deploy:
+            cmd.append("--no-deploy")
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=timeout)
@@ -769,6 +780,9 @@ def main():
                         default="", help=argparse.SUPPRESS)  # internal
     parser.add_argument("--img", type=int, default=IMG)
     parser.add_argument("--batch", type=int, default=BATCH)
+    parser.add_argument("--headline-only", action="store_true",
+                        help="skip the b1-latency and NMS microbenches "
+                             "(used by the int8 sub-stage)")
     parser.add_argument("--profile", type=str, default="",
                         help="dump a jax profiler trace to this directory")
     # 96 chained steps/round: the round's single forced fetch carries a
@@ -805,6 +819,17 @@ def main():
         extra.pop("unit", None)
     if IMG == 800 and args.mode == "csl" and not args.no_eval:
         extra.update(run_stage("eval", args))
+    if (IMG == 800 and args.mode == "csl" and args.dtype == "bf16"
+            and not args.no_deploy and not args.headline_only):
+        # the int8 deploy path (calibrated static activation scales) beats
+        # bf16 on this graph (528 vs 508 img/s measured 2026-08-19); bf16
+        # stays the headline because the BASELINE per-detection parity bar
+        # (1e-3 skew-IoU) only holds for it — int8 is mAP-parity gated
+        # instead (tests/test_trained_parity.py)
+        i8 = run_stage("int8", args)
+        if i8.get("value"):
+            extra["int8_ips"] = i8["value"]
+            extra["int8_vs_baseline"] = i8.get("vs_baseline")
 
     packed = (not args.no_deploy and not args.no_packed_input
               and args.ver in ("yolov7", "yolov4"))
@@ -915,6 +940,17 @@ def main():
             gc.collect()
     ips = BATCH * iters / dt
     free_arrays(batches)
+
+    if args.headline_only:
+        print(json.dumps({
+            "metric": f"images_per_sec_chip_{IMG}px_detect_{args.ver}"
+                      f"_{args.mode}",
+            "value": round(ips, 2), "unit": "img/s",
+            "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+            "dtype": args.dtype, "timed_iters": iters,
+            "strict_timing_fallback": suspect,
+        }))
+        return
 
     # batch-1 latency (the reference's per-image timing contract,
     # /root/reference/detect.py:58-62)
