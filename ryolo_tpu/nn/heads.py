@@ -165,33 +165,33 @@ def decode_kfiou_scores(outs: Sequence[jax.Array], na: int,
         nc_lvl = nf - 6
 
         # max/argmax over the class channels as ONE dependent elementwise
-        # select chain over per-CLASS strided slices (all na anchors at
-        # once).  ``jnp.max/argmax`` lower to one narrow iota-reduce per
-        # anchor (profiled 0.59 ms × 18 = 10.6 ms/step @800px, a third of
-        # the KFIoU detect step), and per-ANCHOR select chains are no
-        # better (18 independent multi-output fusions, each re-reading
-        # every lane tile of the interleaved head map: 12.4 ms) — a
-        # single chain with one (conf, cls_id) output fuses into one
-        # pass.  Tie-exact with argmax: identical f32 σ·σ products,
-        # ascending class order + strict ``>`` keeps first-max-wins.
-        def stride_slice(f):  # channels f, nf+f, ..., (na-1)·nf+f
-            return jax.lax.slice(x, (0, 0, 0, f),
-                                 (b, gh, gw, (na - 1) * nf + f + 1),
-                                 (1, 1, 1, nf))  # (B, gh, gw, na)
+        # select chain, on a feature-PLANAR relayout of the head map.
+        # Alternatives, all profiled @800px B8: ``jnp.max/argmax`` = one
+        # narrow iota-reduce per anchor (0.59 ms × 18 = 10.6 ms/step);
+        # per-ANCHOR select chains = 18 independent fusions each
+        # re-reading every lane tile of the interleaved map (12.4 ms);
+        # per-CLASS strided slices = 17 standalone slice ops, each again
+        # reading all lane tiles (0.29 × 17 = 4.8 ms).  One transpose to
+        # (B, nf, na, gh, gw) makes every feature plane a leading-dim
+        # view: the chain fuses into a single pass over well-tiled
+        # (gh, gw) minors, and (conf, cls_id) come out directly in the
+        # anchor-major candidate order (no output transpose).  Tie-exact
+        # with argmax: identical f32 σ·σ products, ascending class order
+        # + strict ``>`` keeps first-max-wins.
+        xt = jnp.transpose(x.reshape(b, gh, gw, na, nf), (0, 4, 3, 1, 2))
 
-        sobj = jax.nn.sigmoid(stride_slice(5).astype(jnp.float32))
-        conf = jax.nn.sigmoid(stride_slice(6).astype(jnp.float32)) * sobj
+        sobj = jax.nn.sigmoid(xt[:, 5].astype(jnp.float32))
+        conf = jax.nn.sigmoid(xt[:, 6].astype(jnp.float32)) * sobj
         cls_id = jnp.zeros_like(conf, jnp.int32)
         for c in range(1, nc_lvl):
-            s = jax.nn.sigmoid(stride_slice(6 + c).astype(jnp.float32)) \
-                * sobj
+            s = jax.nn.sigmoid(xt[:, 6 + c].astype(jnp.float32)) * sobj
             hit = s > conf
             conf = jnp.where(hit, s, conf)
             cls_id = jnp.where(hit, c, cls_id)
 
-        # anchor-major candidate order (matches decode_kfiou)
-        confs.append(jnp.transpose(conf, (0, 3, 1, 2)).reshape(b, -1))
-        ids.append(jnp.transpose(cls_id, (0, 3, 1, 2)).reshape(b, -1))
+        # (B, na, gh, gw) -> anchor-major rows (matches decode_kfiou)
+        confs.append(conf.reshape(b, -1))
+        ids.append(cls_id.reshape(b, -1))
     return jnp.concatenate(confs, 1), jnp.concatenate(ids, 1)
 
 
