@@ -39,7 +39,10 @@ class Candidates(NamedTuple):
     valid: jax.Array      # bool — candidate participates in the loss
     cls: jax.Array        # int32 — target class
     anchor: jax.Array     # int32 — anchor index within the level
-    cell: jax.Array       # int32 — flattened a*gh*gw + gj*gw + gi cell index
+    cell: jax.Array       # int32 — flattened (gj*gw + gi)*na + a cell index
+    #                       (row order of the NHWC head map viewed as
+    #                        (B, gh*gw*na, nf) — a FREE reshape, since the
+    #                        channel packing is anchor-major)
     txy: jax.Array        # (B, K, 2) cell-relative target xy (in [-0.5, 1.5])
     twh: jax.Array        # (B, K, 2) target wh in grid units
     ttheta: jax.Array     # target angle (radians)
@@ -103,10 +106,9 @@ def build_candidates(
         jnp.arange(na, dtype=jnp.int32)[None, None, :, None], (B, T, na, N_OFF)
     )
     cell = (
-        a_idx * (gh * gw)
-        + jnp.broadcast_to(gj[:, :, None, :], (B, T, na, N_OFF)) * gw
+        jnp.broadcast_to(gj[:, :, None, :], (B, T, na, N_OFF)) * gw
         + jnp.broadcast_to(gi[:, :, None, :], (B, T, na, N_OFF))
-    )
+    ) * na + a_idx
 
     K = T * na * N_OFF
     out_csl = None
@@ -129,28 +131,36 @@ def build_candidates(
     )
 
 
-def gather_predictions(pred_lvl: jax.Array, cand: Candidates) -> jax.Array:
-    """Gather ``(B, K, nf)`` prediction rows at the candidate cells.
+def gather_predictions(pred_lvl: jax.Array, cand: Candidates,
+                       na: int) -> jax.Array:
+    """Gather f32 ``(B, K, nf)`` prediction rows at the candidate cells.
 
-    ``pred_lvl``: ``(B, na, gh, gw, nf)`` raw head tensor.  Equivalent of the
-    reference's fancy-indexed ``ps = pi[b, a, gj, gi]`` (``lib/loss.py:209``).
+    ``pred_lvl``: ``(B, gh, gw, na·nf)`` conv-native NHWC head map.  The
+    anchor-major channel packing makes ``(B, gh·gw·na, nf)`` a FREE
+    reshape, so the gather runs on the map as the conv produced it — no
+    full-map transpose (the reference layout cost ~3.5 ms/step @800px B8
+    including the backward).  Equivalent of the reference's fancy-indexed
+    ``ps = pi[b, a, gj, gi]`` (``lib/loss.py:209``).
     """
-    B, na, gh, gw, nf = pred_lvl.shape
-    flat = pred_lvl.reshape(B, na * gh * gw, nf)
-    return jnp.take_along_axis(flat, cand.cell[..., None], axis=1)
+    B, gh, gw, c = pred_lvl.shape
+    flat = pred_lvl.reshape(B, gh * gw * na, c // na)
+    rows = jnp.take_along_axis(flat, cand.cell[..., None], axis=1)
+    return rows.astype(jnp.float32)
 
 
 def scatter_conf(conf_target_shape, cand: Candidates, scores: jax.Array):
     """Scatter per-candidate objectness scores into the dense conf target.
 
-    Equivalent of ``tconf[b, a, gj, gi] = score_iou`` (``lib/loss.py:221``).
+    ``conf_target_shape``: ``(B, gh, gw, na)`` — the NHWC obj-plane layout
+    (``pred.reshape(B, gh, gw, na, nf)[..., obj]``).  Equivalent of
+    ``tconf[b, a, gj, gi] = score_iou`` (``lib/loss.py:221``).
     Duplicate cells resolve exactly like the reference's in-place advanced
     indexing: the *last* candidate in the reference's enumeration order
     (offset-major, then anchor, then target — ``t.repeat((5,1,1))[j]``,
     ``lib/loss.py:309``) wins.  Implemented as a two-pass deterministic
     scatter: max-priority per cell, then a unique-writer score scatter.
     """
-    B, na, gh, gw = conf_target_shape
+    B, gh, gw, na = conf_target_shape
     n_cells = na * gh * gw
     K = cand.cell.shape[1]
     T = K // (na * N_OFF)
@@ -173,4 +183,4 @@ def scatter_conf(conf_target_shape, cand: Candidates, scores: jax.Array):
         return jnp.zeros((n_cells,), s.dtype).at[i2].set(s, mode="drop")
 
     flat = jax.vmap(per_image)(idx, prio, scores)
-    return flat.reshape(B, na, gh, gw)
+    return flat.reshape(B, gh, gw, na)

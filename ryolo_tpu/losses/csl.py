@@ -26,7 +26,7 @@ GR = 1.0            # iou-ratio blending, lib/loss.py:161
 
 
 def csl_loss(
-    outputs: Sequence[jax.Array],   # 3 × (B, na, gh, gw, nc+185) raw heads
+    outputs: Sequence[jax.Array],   # 3 × (B, gh, gw, na·(nc+185)) NHWC heads
     tgt: jax.Array,                 # (B, T, 6) [cls, x, y, w, h, θ] normalized
     tgt_csl: jax.Array,             # (B, T, 180) smooth angle labels
     tgt_mask: jax.Array,            # (B, T) bool
@@ -48,17 +48,20 @@ def csl_loss(
     cls_loss = 0.0
 
     for pi, anc in zip(outputs, anchors):
-        B, na, gh, gw, nf = pi.shape
-        cand = build_candidates(tgt, tgt_mask, jnp.asarray(anc), gh, gw,
+        anc = jnp.asarray(anc)
+        na = anc.shape[0]
+        B, gh, gw, c = pi.shape
+        nf = c // na
+        cand = build_candidates(tgt, tgt_mask, anc, gh, gw,
                                 tgt_csl=tgt_csl)
-        ps = gather_predictions(pi, cand)  # (B, K, nf)
+        ps = gather_predictions(pi, cand, na)  # f32 (B, K, nf)
         m = cand.valid
         mf = m.astype(jnp.float32)
 
         # Decoded box in grid units (loss-side decode, lib/loss.py:212-214)
         pxy = jax.nn.sigmoid(ps[..., 0:2]) * 2.0 - 0.5
         pwh = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 \
-            * jnp.asarray(anc)[cand.anchor]
+            * anc[cand.anchor]
         pbox = jnp.concatenate([pxy, pwh], -1)
         tbox = jnp.concatenate([cand.txy, cand.twh], -1)
         # Sanitize padded rows so CIoU never sees 0-sized boxes (NaN guard).
@@ -70,9 +73,11 @@ def csl_loss(
         reg_loss += masked_mean(1.0 - ciou, m)
 
         score_iou = jax.lax.stop_gradient(jnp.clip(ciou, 0.0, None))
-        tconf = scatter_conf((B, na, gh, gw), cand,
+        tconf = scatter_conf((B, gh, gw, na), cand,
                              (1.0 - GR) + GR * score_iou)
-        conf_loss += bce_loss(pi[..., 4], tconf, pos_weight=obj_pw,
+        # obj plane as an NHWC view (free reshape, strided channel read)
+        pobj = pi.reshape(B, gh, gw, na, nf)[..., 4].astype(jnp.float32)
+        conf_loss += bce_loss(pobj, tconf, pos_weight=obj_pw,
                               fl_gamma=fl_gamma)
 
         if nc > 1:

@@ -28,7 +28,7 @@ GR = 1.0  # lib/loss.py:353
 
 
 def kfiou_loss(
-    outputs: Sequence[jax.Array],   # 3 × (B, na, gh, gw, nc+6) raw heads
+    outputs: Sequence[jax.Array],   # 3 × (B, gh, gw, na·(nc+6)) NHWC heads
     tgt: jax.Array,                 # (B, T, 6) [cls, x, y, w, h, θ] normalized
     tgt_mask: jax.Array,            # (B, T) bool
     anchors: Sequence[jax.Array],   # per-level (na, 3) [w, h, θ] grid anchors
@@ -48,10 +48,12 @@ def kfiou_loss(
     cls_loss = 0.0
 
     for pi, anc in zip(outputs, anchors):
-        B, na, gh, gw, nf = pi.shape
         anc = jnp.asarray(anc)
+        na = anc.shape[0]
+        B, gh, gw, c = pi.shape
+        nf = c // na
         cand = build_candidates(tgt, tgt_mask, anc, gh, gw, angle_gate=True)
-        ps = gather_predictions(pi, cand)  # (B, K, nf)
+        ps = gather_predictions(pi, cand, na)  # f32 (B, K, nf)
         m = cand.valid
 
         anc_rows = anc[cand.anchor]  # (B, K, 3)
@@ -72,8 +74,10 @@ def kfiou_loss(
         reg_loss += kf
 
         score = jax.lax.stop_gradient(jnp.clip(kfiou, 0.0, None))
-        tconf = scatter_conf((B, na, gh, gw), cand, (1.0 - GR) + GR * score)
-        conf_loss += bce_loss(pi[..., 5], tconf, pos_weight=obj_pw,
+        tconf = scatter_conf((B, gh, gw, na), cand, (1.0 - GR) + GR * score)
+        # obj logit is channel 5 (lib/loss.py:407), NHWC view
+        pobj = pi.reshape(B, gh, gw, na, nf)[..., 5].astype(jnp.float32)
+        conf_loss += bce_loss(pobj, tconf, pos_weight=obj_pw,
                               fl_gamma=fl_gamma)
 
         if nc > 1:

@@ -22,6 +22,7 @@ from ryolo_tpu.nn.blocks import (
     Dtype,
     MaxConv,
     S2DStem,
+    train_s2d_stem,
 )
 
 
@@ -39,6 +40,8 @@ class Backbonev4(nn.Module):
         if self.deploy:  # exact S2D reparametrization of cbm0+cbm1
             x = S2DStem(32, 64, act="mish", dtype=d,
                         packed=self.packed_input, name="s2d_stem")(x, train)
+        elif x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = train_s2d_stem(x, train, 32, 64, "mish", d, "cbm0", "cbm1")
         else:
             x = ConvBlock(32, 3, 1, "mish", dtype=d, name="cbm0")(x, train)
             x = ConvBlock(64, 3, 2, "mish", dtype=d, name="cbm1")(x, train)
@@ -95,6 +98,10 @@ class Backbonev7(nn.Module):
         if self.deploy:  # exact S2D reparametrization of cbs0+cbs1
             x = S2DStem(32, 64, dtype=d, packed=self.packed_input,
                         name="s2d_stem")(x, train)
+        elif x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # train-time S2D twin: same params/variables as the two
+            # ConvBlocks below, computed on the space-to-depth grid
+            x = train_s2d_stem(x, train, 32, 64, "swish", d, "cbs0", "cbs1")
         else:
             x = ConvBlock(32, 3, 1, "swish", dtype=d, name="cbs0")(x, train)
             x = ConvBlock(64, 3, 2, "swish", dtype=d, name="cbs1")(x, train)

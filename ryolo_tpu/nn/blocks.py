@@ -153,6 +153,136 @@ def pack_input_s2d(images):
     return xp.reshape(b, h // 2, w // 2, 4 * c)
 
 
+def _scatter_s1_jnp(w):
+    """Differentiable twin of ``deploy._s2d_scatter_s1``: 3×3 stride-1
+    kernel -> 4×4 stride-2 kernel whose output channel ``(a·2+b)·C + c``
+    is the 2×2 space-to-depth packing of the original conv's output.
+    Static placement of the 9 taps (36 slice-sets traced once); autodiff
+    gathers the cotangent back onto the original (3,3,cin,cout) kernel."""
+    kh, kw, cin, cout = w.shape
+    K = jnp.zeros((4, 4, cin, 4 * cout), w.dtype)
+    for s in range(4):
+        for a in range(2):
+            di = s - a
+            if not 0 <= di < kh:
+                continue
+            for t in range(4):
+                for b2 in range(2):
+                    dj = t - b2
+                    if not 0 <= dj < kw:
+                        continue
+                    g = (a * 2 + b2) * cout
+                    K = K.at[s, t, :, g:g + cout].set(w[di, dj])
+    return K
+
+
+def _scatter_s2_jnp(w):
+    """Differentiable twin of ``deploy._s2d_scatter_s2``: 3×3 stride-2
+    kernel -> 2×2 kernel consuming the S2D grid (pad (1,0) asymmetric)."""
+    kh, kw, cin, cout = w.shape
+    K = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for dp in range(2):
+        for u in range(2):
+            di = 2 * dp + u - 1
+            if not 0 <= di < kh:
+                continue
+            for dq in range(2):
+                for v in range(2):
+                    dj = 2 * dq + v - 1
+                    if not 0 <= dj < kw:
+                        continue
+                    g = (u * 2 + v) * cin
+                    K = K.at[dp, dq, g:g + cin, :].set(w[di, dj])
+    return K
+
+
+class _S2DStemHalf(nn.Module):
+    """One stem ConvBlock computed on the 2×2 space-to-depth grid.
+
+    Owns the SAME variable tree as the train-mode ``ConvBlock`` it stands
+    in for — ``conv/kernel`` (the ORIGINAL (k,k,cin,cout) f32 kernel, same
+    lecun-normal init stream) + a real ``bn`` flax BatchNorm — so
+    checkpoints, the ``.pth`` converter and the optimizer see no change;
+    only the computation runs on the S2D layout.  ``fold > 1`` batch-norms
+    a phase-packed tensor: the (…, fold·cout) map reshapes to
+    (…, fold, cout) so the stats reduce over (batch, space, phase) — the
+    exact same per-channel population as the original layout, summed in a
+    different order (the reshape is a free bitcast: the channel dim is
+    phase-major).  Scale/bias/running stats keep their (cout,) shapes.
+    """
+
+    cout: int           # ORIGINAL conv output channels
+    kshape: tuple       # original kernel shape
+    scatter: Callable   # differentiable kernel scatter
+    strides: tuple
+    padding: tuple
+    fold: int           # BN phase fold (4 after scatter_s1, else 1)
+    act: str
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kernel = _KernelParam(self.kshape, name="conv")()
+        kq = self.scatter(kernel).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kq, self.strides, list(self.padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, c = y.shape
+        if self.fold > 1:
+            y = y.reshape(b, h, w, self.fold, c // self.fold)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(y)
+        if self.fold > 1:
+            y = y.reshape(b, h, w, c)
+        return ACTIVATIONS[self.act](y)
+
+
+class _KernelParam(nn.Module):
+    """Declares ``kernel`` exactly as ``nn.Conv`` would (name, shape,
+    dtype, lecun-normal init) without running a convolution."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+def train_s2d_stem(x, train: bool, c0: int, c1: int, act: str, dtype,
+                   n0: str, n1: str):
+    """TRAIN-time exact S2D reparametrization of the two-conv stem.
+
+    Computes the same function as ``ConvBlock(c0,3,1)+ConvBlock(c1,3,2)``
+    (``model/backbone.py:72-74`` / ``:6-9``) with both convs, the first
+    BN and the first activation on the half-resolution 2×2 space-to-depth
+    grid — the train-time twin of the deploy-only :class:`S2DStem`.  Why:
+    at 800px the original stem's (B,800,800,32) maps waste 3/4 of the
+    128-wide VPU lanes and the 3-in-channel conv runs at ~1.4 % MXU
+    utilization; profiled @800px B8 the stem's BN-grad reductions + silu
+    + first conv cost ~19 ms of a 79.6 ms train step.  The S2D layout
+    packs 4 pixel phases into the channel dim (128 full lanes) at
+    identical byte counts.
+
+    Exactness: the scattered kernels compute the identical tap sums (extra
+    taps are exact zeros), phase-folded BN reduces the identical per-channel
+    population (different summation order: f32-rounding-level diffs), and
+    the activation is elementwise.  Kernels are derived from the ORIGINAL
+    params every step — autodiff routes gradients back through the scatter,
+    so optimizer/checkpoint/EMA semantics are untouched.
+
+    Must be called inside a parent module's compact scope (the param tree
+    lands at ``{n0}/{conv,bn}``, ``{n1}/{conv,bn}`` — identical to the two
+    ConvBlocks it replaces).
+    """
+    cin = x.shape[-1]
+    h0 = _S2DStemHalf(c0, (3, 3, cin, c0), _scatter_s1_jnp, (2, 2),
+                      ((1, 2), (1, 2)), 4, act, dtype, name=n0)
+    h1 = _S2DStemHalf(c1, (3, 3, c0, c1), _scatter_s2_jnp, (1, 1),
+                      ((1, 0), (1, 0)), 1, act, dtype, name=n1)
+    return h1(h0(x, train), train)
+
+
 class ConvBlock(nn.Module):
     """Conv2d(+pad (k-1)/2) -> optional BN -> activation.
 

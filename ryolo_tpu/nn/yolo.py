@@ -48,11 +48,13 @@ def make_rotated_anchors(strides, anchors, angles_rad):
 class Yolo(nn.Module):
     """Rotated-box YOLO: ``ver`` ∈ {yolov4, yolov5, yolov7} × ``mode`` ∈ {csl, kfiou}.
 
-    ``__call__(images_nhwc, train=..., decode=...)`` returns the tuple of raw
-    per-level head tensors ``(B, na, gs, gs, nf)`` (training contract,
-    ``model/yololayer.py:25,56``); with ``decode=True`` it additionally
-    returns the concatenated decoded predictions ``(B, Σ na·gs², nc+6)``
-    (inference contract, ``model/yolo.py:46-51``).
+    ``__call__(images_nhwc, train=..., decode=False)`` returns the tuple of
+    conv-native NHWC head maps ``(B, gs, gs, na·nf)`` in the compute dtype
+    (the TRAIN contract — the losses consume this layout directly); with
+    ``decode=True`` it returns reference-layout raw heads
+    ``(B, na, gs, gs, nf)`` (``model/yololayer.py:25,56``) plus the
+    concatenated decoded predictions ``(B, Σ na·gs², nc+6)`` (inference
+    contract, ``model/yolo.py:46-51``).
     """
 
     n_classes: int
@@ -111,15 +113,17 @@ class Yolo(nn.Module):
         """
         d3, d4, d5 = self.backbone(images, train)
         x6, x5, x4 = self.neck(d5, d4, d3, train)
-        # transpose in the compute dtype (half the HBM traffic in bf16),
-        # upcast after — the raw-head contract stays float32.  The decode
-        # reads the PRE-cast tensors: it upcasts only the channels it needs
-        # (heads.py), and when the caller drops the raw outputs jit
-        # dead-code-eliminates the full-tensor f32 casts entirely.
-        raw = tuple(reshape_head(x, self.na, self.nf) for x in (x6, x5, x4))
-        outs = tuple(o.astype(jnp.float32) for o in raw)
+        heads = (x6, x5, x4)
         if not decode:
-            return outs
+            # TRAIN contract: the conv-native NHWC maps (B, gs, gs, na·nf)
+            # in the compute dtype.  The losses gather candidate rows and
+            # view the obj plane directly on this layout (anchor-major
+            # channel packing makes (B, gs, gs, na, nf) a free reshape —
+            # losses/assign.py), so the full-map transpose + f32 cast the
+            # reference layout would cost (~3.5 ms/step @800px B8 incl.
+            # backward) never materializes.  Reference-layout raw heads
+            # remain available via ``decode=True`` (parity surface).
+            return heads
         # decode reads the UNtransposed neck tensors (conv-native layout,
         # heads.py); when the caller drops the raw outputs, jit then
         # dead-code-eliminates the reshape_head transposes entirely
@@ -128,18 +132,23 @@ class Yolo(nn.Module):
             # decode and the deferred gathers: without the barrier the
             # decode cluster relays the conv output {2,0,3,1} and the
             # gather copies it BACK to the conv layout (~1 ms/step churn)
-            heads_pinned = jax.lax.optimization_barrier((x6, x5, x4))
+            heads_pinned = jax.lax.optimization_barrier(heads)
             if self.mode == "csl":
                 dec = decode_csl_defer(heads_pinned, self.anchors, STRIDES,
                                        self.n_classes)
-                return outs, (dec, heads_pinned)
+                return heads_pinned, (dec, heads_pinned)
             # kfiou: defer the ENTIRE box decode — only (conf, cls_id) are
             # computed full-width; post_process_kfiou_defer resolves boxes
             # for the selected top-k (the 18-anchor head would otherwise
             # materialize a (B, N, nc+6) tensor ~6x CSL's row count)
             scores = decode_kfiou_scores(heads_pinned, self.na,
                                          self.n_classes)
-            return outs, (scores, heads_pinned)
+            return heads_pinned, (scores, heads_pinned)
+        # decode=True: reference-layout f32 raw heads (parity/inspection
+        # contract, ``model/yololayer.py:25,56``); jit dead-code-eliminates
+        # the transposes + casts whenever the caller drops them.
+        outs = tuple(reshape_head(x, self.na, self.nf).astype(jnp.float32)
+                     for x in heads)
         fn = decode_csl if self.mode == "csl" else decode_kfiou
-        dec = fn((x6, x5, x4), self.anchors, STRIDES, self.n_classes)
+        dec = fn(heads, self.anchors, STRIDES, self.n_classes)
         return outs, dec

@@ -137,19 +137,26 @@ class Trainer:
         # inject the per-step lr (documented optax.inject_hyperparams pattern)
         state.opt_state.hyperparams["learning_rate"] = lr
 
-        def apply_update(_):
-            updates, new_opt = self.tx.update(grad_accum, state.opt_state,
+        # Unconditional update + per-leaf select instead of ``lax.cond``:
+        # the cond is a fusion barrier and its apply branch executes every
+        # step at accumulate=1 anyway (profiled 1.67 ms/step @800px B8);
+        # as a select the optimizer's elementwise chain fuses into the
+        # grad-accumulate add — one pass over the param-sized tensors.
+        # Semantics are identical: the skipped branch's updates/momentum
+        # are computed then discarded by the select.
+        updates, opt_applied = self.tx.update(grad_accum, state.opt_state,
                                               state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, grad_accum)
-            return new_params, new_opt, zeros, jnp.zeros((), jnp.int32)
+        params_applied = optax.apply_updates(state.params, updates)
 
-        def keep_accumulating(_):
-            return (state.params, state.opt_state, grad_accum, count)
+        def sel(on_true, on_false):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_update, a, b), on_true, on_false)
 
-        new_params, new_opt, new_accum, new_count = jax.lax.cond(
-            do_update, apply_update, keep_accumulating, None
-        )
+        new_params = sel(params_applied, state.params)
+        new_opt = sel(opt_applied, state.opt_state)
+        new_accum = sel(jax.tree_util.tree_map(jnp.zeros_like, grad_accum),
+                        grad_accum)
+        new_count = jnp.where(do_update, jnp.zeros((), jnp.int32), count)
         new_state = TrainState(new_params, new_bs, new_opt, new_accum,
                                new_count)
         return new_state, loss, items

@@ -111,6 +111,16 @@ def _rand_outputs(rng, B, nf, na, img_size=64):
     return outs
 
 
+def _nhwc(outs):
+    """Reference-layout raw heads -> the losses' conv-native NHWC maps
+    (B, gs, gs, na·nf) with anchor-major channel packing."""
+    return [
+        jnp.asarray(np.ascontiguousarray(o.transpose(0, 2, 3, 1, 4))
+                    .reshape(o.shape[0], o.shape[2], o.shape[3], -1))
+        for o in outs
+    ]
+
+
 class TestCSLParity:
     @pytest.mark.parametrize("seed,n_targets", [(0, 12), (1, 1), (2, 40)])
     def test_loss_items_match(self, seed, n_targets):
@@ -126,7 +136,7 @@ class TestCSLParity:
 
         tgt, bins, mask = _pad_targets(targets, B, 64, csl=True)
         _, items = csl_loss(
-            [jnp.asarray(o) for o in outs], jnp.asarray(tgt),
+            _nhwc(outs), jnp.asarray(tgt),
             jnp.asarray(bins), jnp.asarray(mask),
             anchors, NC, HYP,
         )
@@ -146,7 +156,7 @@ class TestCSLParity:
         tgt = jnp.zeros((B, 8, 6))
         bins = jnp.zeros((B, 8, 180))
         mask = jnp.zeros((B, 8), bool)
-        _, items = csl_loss([jnp.asarray(o) for o in outs], tgt, bins, mask,
+        _, items = csl_loss(_nhwc(outs), tgt, bins, mask,
                             anchors, NC, HYP)
         for k in ref_items:
             assert float(items[k]) == pytest.approx(ref_items[k], rel=2e-3, abs=1e-5), k
@@ -166,7 +176,7 @@ class TestCSLParity:
                                jnp.asarray(mask), anchors, NC, HYP)
             return loss
 
-        grads = jax.grad(f)([jnp.asarray(o) for o in outs])
+        grads = jax.grad(f)(_nhwc(outs))
         for g in grads:
             assert np.isfinite(np.asarray(g)).all()
 
@@ -187,7 +197,7 @@ class TestKFIoUParity:
 
         tgt, _, mask = _pad_targets(targets, B, 48, csl=False)
         _, items = kfiou_loss(
-            [jnp.asarray(o) for o in outs], jnp.asarray(tgt),
+            _nhwc(outs), jnp.asarray(tgt),
             jnp.asarray(mask), anchors, NC, HYP,
         )
         for k in ref_items:
@@ -203,7 +213,7 @@ class TestKFIoUParity:
         ref = ref_loss.ComputeKFIoULoss(_MockModel(anchors, NC), HYP)
         _, ref_items = ref([torch.tensor(o) for o in outs], torch.zeros((0, 7)))
 
-        _, items = kfiou_loss([jnp.asarray(o) for o in outs],
+        _, items = kfiou_loss(_nhwc(outs),
                               jnp.zeros((B, 8, 6)), jnp.zeros((B, 8), bool),
                               anchors, NC, HYP)
         for k in ref_items:

@@ -80,3 +80,74 @@ def test_jit_forward_compiles_once():
     _, d1 = fwd(variables, x)
     _, d2 = fwd(variables, x + 1)
     assert d1.shape == d2.shape
+
+
+@pytest.mark.parametrize("act,n0,n1", [("swish", "cbs0", "cbs1"),
+                                       ("mish", "cbm0", "cbm1")])
+def test_train_s2d_stem_matches_convblocks(act, n0, n1):
+    """train_s2d_stem == ConvBlock(c0,3,1)+ConvBlock(c1,3,2): identical
+    variable tree AND init bits, matching fwd/batch-stats/grads to bf16
+    rounding (the S2D grid changes only summation order)."""
+    from flax import linen as nn
+
+    from ryolo_tpu.nn.blocks import ConvBlock, train_s2d_stem
+
+    class Plain(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = ConvBlock(32, 3, 1, act, dtype=jnp.bfloat16, name=n0)(
+                x, train)
+            return ConvBlock(64, 3, 2, act, dtype=jnp.bfloat16, name=n1)(
+                x, train)
+
+    class S2D(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return train_s2d_stem(x, train, 32, 64, act, jnp.bfloat16,
+                                  n0, n1)
+
+    jtu = jax.tree_util
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 32, 3)).astype(np.float32))
+    vp = Plain().init(jax.random.PRNGKey(7), x, train=False)
+    vs = S2D().init(jax.random.PRNGKey(7), x, train=False)
+    tp = jtu.tree_flatten_with_path(vp)[0]
+    ts = jtu.tree_flatten_with_path(vs)[0]
+    assert [jtu.keystr(k) for k, _ in tp] == [jtu.keystr(k) for k, _ in ts]
+    for (_, a), (_, b) in zip(tp, ts):  # same init RNG stream -> same bits
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert jnp.all(a == b)
+
+    # randomized params (defaults would hide scale/shift bugs)
+    key = jax.random.PRNGKey(3)
+    leaves, treedef = jtu.tree_flatten(vp)
+    v = jtu.tree_unflatten(treedef, [
+        l + 0.05 * jax.random.normal(jax.random.fold_in(key, i), l.shape,
+                                     l.dtype)
+        for i, l in enumerate(leaves)])
+
+    yp, mp_ = Plain().apply(v, x, train=True, mutable=["batch_stats"])
+    ys, ms_ = S2D().apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.float32(yp), np.float32(ys), atol=0.05)
+    for (_, a), (_, b) in zip(jtu.tree_flatten_with_path(mp_)[0],
+                              jtu.tree_flatten_with_path(ms_)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def lossf(params, mod):
+        y, _ = mod.apply({"params": params,
+                          "batch_stats": v["batch_stats"]}, x, train=True,
+                         mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gp = jax.grad(lossf)(v["params"], Plain())
+    gs = jax.grad(lossf)(v["params"], S2D())
+    for (_, a), (_, b) in zip(jtu.tree_flatten_with_path(gp)[0],
+                              jtu.tree_flatten_with_path(gs)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-2
+
+    np.testing.assert_allclose(
+        np.float32(Plain().apply(v, x, train=False)),
+        np.float32(S2D().apply(v, x, train=False)), atol=0.05)
+
+
