@@ -125,10 +125,16 @@ def build_model(dtype_name: str, deploy: bool, mode: str = "csl",
     model = Yolo(n_classes=NC, model_config=cfg, mode=mode, ver=ver,
                  dtype=jnp.float32)
     # init at a tiny size: conv/BN param shapes are image-size independent,
-    # and eager init at 800px costs minutes on this host
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 3), jnp.float32),
-                           train=False)
+    # and eager init at 800px costs minutes on this host.  JIT the init:
+    # eager flax init dispatches every op separately over the axon tunnel
+    # (~100 ms RTT each -> minutes of build time, measured 280 s of the
+    # proof run's 366 s startup); one jitted program runs in seconds and
+    # persists in the compilation cache.  Values are identical (same
+    # threefry streams, same math).
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, train=False)
+    )(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    variables = jax.device_get(variables)  # host numpy: fuse folds on host
     # Random weights fire ~2000 false detections/image above conf 0.7,
     # which benchmarks a workload no trained detector produces.  Bias the
     # objectness channels to a converged detector's background response so
@@ -139,9 +145,9 @@ def build_model(dtype_name: str, deploy: bool, mode: str = "csl",
     nf = NC + 185 if mode == "csl" else NC + 6
     obj_ch = 4 if mode == "csl" else 5  # layout per heads.py
     for head in HEAD_CONVS[ver]:
-        b = params["neck"][head]["conv"]["bias"]
-        idx = np.arange(na) * nf + obj_ch  # obj channel per anchor
-        params["neck"][head]["conv"]["bias"] = b.at[jnp.asarray(idx)].set(-6.0)
+        b = np.array(params["neck"][head]["conv"]["bias"])
+        b[np.arange(na) * nf + obj_ch] = -6.0  # obj channel per anchor
+        params["neck"][head]["conv"]["bias"] = b
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
 
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
@@ -546,8 +552,66 @@ def bench_train(img: int, batch: int, iters: int = 12,
         return csl_loss(outputs, b["tgt"], b["tgt_csl"], b["tgt_mask"],
                         anchors, nc, hyp)
 
-    variables = dict(model.init(jax.random.PRNGKey(0),
-                                jnp.zeros((1, 64, 64, 3)), train=False))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from make_synth_data import main as make_synth_data
+
+    tmp = tempfile.mkdtemp(prefix="bench_train_")
+    make_synth_data(tmp, n_images=batch * 4, img_size=img, seed=0)
+
+    from ryolo_tpu.data.device_augment import pick_method, render_batch
+
+    render_method = pick_method(hyp, img)
+
+    # --- device-RESIDENT tile bank + ISOLATED renderer timing, on an
+    # otherwise-empty chip: measured BEFORE the trainer state/executables
+    # allocate (r4's in-bench isolated number read 413-476 ms/batch while
+    # both the in-loop accounting and scripts/bench_render.py on an empty
+    # chip said ~70 — the residency-loaded measure answered a question
+    # nobody asks; the production renderer runs interleaved with the step,
+    # and THAT cost is what input_stall already captures)
+    cds = cloader = bank = None
+    render_ms = None
+    try:
+        cds, cloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
+                                 "custom", hyp, csl=True, img_size=img,
+                                 batch_size=batch, augment=True,
+                                 shuffle=True, max_targets=64,
+                                 drop_last=True, device_augment=True,
+                                 device_cache=True)
+        bank = jax.device_put(cds.build_tile_bank())
+        jax.block_until_ready(bank)
+        cloader.set_epoch(99)
+        spec = next(iter(cloader))
+        sa = {k: jnp.asarray(np.asarray(v)) for k, v in spec.items()
+              if k != "paths"}
+        imgs = render_batch(sa, n_out=batch, bank=bank, method=render_method)
+        jax.block_until_ready(imgs)
+        r_iters = 8
+        # chained + fetch-forced (see module docstring): each iter's
+        # HSV-gain bump derives from the previous image, so the final
+        # 4-byte fetch forces all r_iters renders.  The bump must be
+        # RELATIVE and above the f32 ulp of a ~1.0 gain (an additive
+        # chk*1e-9 bump rounds to the SAME bits — the tunnel then dedups
+        # every render and the loop measures RTT-bound checksum programs
+        # instead — the ADVICE r3 below-ulp bug pattern)
+        chk = jnp.float32(fresh_seed())
+        t0 = time.perf_counter()
+        for _ in range(r_iters):
+            s = dict(sa, spec_hsv=sa["spec_hsv"]
+                     * (1.0 + (chk % 97.0) * 1e-5))
+            img_r = render_batch(s, n_out=batch, bank=bank,
+                                 method=render_method)
+            chk = img_r[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1
+        assert np.isfinite(float(chk))
+        render_ms = (time.perf_counter() - t0) / r_iters * 1e3
+    except Exception as e:  # noqa: BLE001
+        print(f"# device-cache bank/renderer setup failed: {e!r}",
+              file=sys.stderr)
+
+    # jitted init: eager flax init pays a tunnel RTT per op (see build_model)
+    variables = dict(jax.jit(
+        lambda k, x: model.init(k, x, train=False)
+    )(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
     trainer = Trainer(model, loss_fn, "SGD", 0.01)
     state = trainer.init_state(variables)
 
@@ -591,12 +655,6 @@ def bench_train(img: int, batch: int, iters: int = 12,
     dt_dev = time.perf_counter() - t0
     ips_device = batch * iters / dt_dev
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from make_synth_data import main as make_synth_data
-
-    tmp = tempfile.mkdtemp(prefix="bench_train_")
-    make_synth_data(tmp, n_images=batch * 4, img_size=img, seed=0)
-
     ips_pipeline = None
     if not mini:
         # --- loader-fed: real cv2 pipeline (mosaic4/9 + warp + HSV + flips)
@@ -624,10 +682,6 @@ def bench_train(img: int, batch: int, iters: int = 12,
     # --- loader-fed with DEVICE-SIDE augmentation + decoded-image cache:
     # the host emits render specs (decode + label math only); mosaic/warp/
     # HSV/mixup composite on device (ryolo_tpu/data/device_augment.py)
-    from ryolo_tpu.data.device_augment import pick_method, render_batch
-
-    render_method = pick_method(hyp, img)
-
     def run_epochs(dloader, bank, n_epochs, first_epoch):
         nonlocal state
         n_img = 0
@@ -666,50 +720,16 @@ def bench_train(img: int, batch: int, iters: int = 12,
     # --- loader-fed with the device-RESIDENT tile bank: the decoded train
     # split pins to HBM once; batches ship only (B, T) int32 bank rows +
     # spec scalars, so even a tunnel-attached 1-core host keeps the device
-    # busy (the north-star input pipeline, SURVEY §7 step 5)
+    # busy (the north-star input pipeline, SURVEY §7 step 5).  The bank and
+    # loader were built (and the isolated renderer timed) before the
+    # trainer allocated — see the top of this function.
     ips_devcache = None
-    render_ms = None
     try:
-        cds, cloader = load_data(os.path.join(tmp, "train"), ["a", "b"],
-                                 "custom", hyp, csl=True, img_size=img,
-                                 batch_size=batch, augment=True,
-                                 shuffle=True, max_targets=T,
-                                 drop_last=True, device_augment=True,
-                                 device_cache=True)
-        bank = jax.device_put(cds.build_tile_bank())
-        jax.block_until_ready(bank)
+        if cloader is None:
+            raise RuntimeError("device-cache loader setup failed earlier")
         run_epochs(cloader, bank, 1, 0)  # warm
         ips_devcache = run_epochs(cloader, bank,
                                   max(2, iters // len(cloader)), 1)
-
-        # isolated renderer timing: ms/batch of render_batch alone on the
-        # resident bank (VERDICT r3 weak #3: the Pallas warp kernel had no
-        # on-hardware in-loop measurement)
-        cloader.set_epoch(99)
-        spec = next(iter(cloader))
-        sa = {k: jnp.asarray(np.asarray(v)) for k, v in spec.items()
-              if k != "paths"}
-        imgs = render_batch(sa, n_out=batch, bank=bank, method=render_method)
-        jax.block_until_ready(imgs)
-        r_iters = 8
-        # chained + fetch-forced (see module docstring): each iter's
-        # HSV-gain bump derives from the previous image, so the final
-        # 4-byte fetch forces all r_iters renders.  The bump must be
-        # RELATIVE and above the f32 ulp of a ~1.0 gain (an additive
-        # chk*1e-9 bump rounds to the SAME bits — the tunnel then dedups
-        # every render and the loop measures 8 RTT-bound checksum
-        # programs instead: 413 "ms/batch" vs the ~55 the train loop
-        # implies — the ADVICE r3 below-ulp bug pattern)
-        chk = jnp.float32(fresh_seed())
-        t0 = time.perf_counter()
-        for _ in range(r_iters):
-            s = dict(sa, spec_hsv=sa["spec_hsv"]
-                     * (1.0 + (chk % 97.0) * 1e-5))
-            img_r = render_batch(s, n_out=batch, bank=bank,
-                                 method=render_method)
-            chk = img_r[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1
-        assert np.isfinite(float(chk))
-        render_ms = (time.perf_counter() - t0) / r_iters * 1e3
     except Exception as e:  # noqa: BLE001
         print(f"# device-cache loader bench failed: {e!r}", file=sys.stderr)
 
@@ -720,6 +740,11 @@ def bench_train(img: int, batch: int, iters: int = 12,
         "train_ips": round(ips_device, 2),
         "train_ips_loader": round(ips_devcache, 2) if ips_devcache else None,
         "input_stall": round(1 - ips_devcache / ips_device, 3)
+        if ips_devcache else None,
+        # what the loader-fed loop actually pays per batch on top of the
+        # step (renderer + dispatch gaps), by accounting
+        "render_gap_ms_acct": round(
+            batch * 1e3 * (1 / ips_devcache - 1 / ips_device), 2)
         if ips_devcache else None,
         "render_ms_batch": round(render_ms, 2) if render_ms else None,
         "render_method": render_method,

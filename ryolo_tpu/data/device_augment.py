@@ -224,12 +224,13 @@ def _render_one(tile_rows, slot_rows, region, offset, hsv, minv,
 # warp kernel, which is the only route below the gather floor:
 #
 #   1. materialize the mosaic canvas (the very array the host pipeline
-#      builds, ``base_dataset.py:240-340``) with two axis-shift row
-#      gathers (per-(slot, line) contiguous indices — the cheap gather
-#      kind), an ascending-slot ownership fold, and the per-tile HSV
-#      jitter through an owner-id select.  A canvas cell equals what the
-#      tap renderer's owner-resolution + tile gather + HSV produces for
-#      that cell, so everything downstream is exact.
+#      builds, ``base_dataset.py:240-340``) GATHER-FREE: each tile is one
+#      contiguous s×s window read-modify-write (``dynamic_update_slice``)
+#      at its integer canvas offset, masked to its region, ascending slot
+#      order (= paste order, so last-write-wins is the ownership fold),
+#      then per-tile HSV jitter through an owner-id select.  A canvas
+#      cell equals what the tap renderer's owner-resolution + tile gather
+#      + HSV produces for that cell, so everything downstream is exact.
 #   2. pack each cell's 2x2 neighbourhood into one (4,) uint32 row
 #      (RGB per pixel in the low 24 bits); the four bilinear taps of an
 #      output pixel then arrive in ONE {1,4}-uint32 gather instead of
@@ -242,58 +243,80 @@ def _render_one(tile_rows, slot_rows, region, offset, hsv, minv,
 _PAD_U8 = int(PAD)
 
 
-def _canvas_one(tile_rows, slot_rows, region, offset, hsv, out_size: int):
-    """One spec -> (C, C, 3) uint8 canvas, C = 2s + 2 (1-cell PAD ring).
+def _paste_canvas(tile_rows, slot_rows, region, offset, out_size: int):
+    """One spec -> ``((C, C, 3) uint8 canvas, (C, C) int32 owner ids)``.
 
     Buffer index b maps to canvas cell q = b - 1; cells outside every
-    region hold PAD, exactly like the unowned taps of the 4-tap path.
+    region hold PAD (owner id T), exactly like the unowned taps of the
+    4-tap path.
+
+    Assembly is GATHER-FREE (the r4 design ran two row gathers — 35 +
+    69 MB per spec — plus a 9-slot full-canvas ownership fold, together
+    ~25 ms/batch of the renderer's 68): each slot's tile is pasted as one
+    contiguous s×s window read-modify-write at its integer canvas offset
+    (``dynamic_update_slice``), masked to the slot's region.  Ascending
+    slot order = the mosaic paste order, so last-write-wins reproduces the
+    fold's ownership exactly; inside its region a window cell's source
+    index is the window coordinate itself (``q - offset ∈ [0, s)`` by
+    spec construction, datasets.get_render_spec), so pixels are
+    bit-identical to the gather formulation.  The buffer carries an
+    s-wide margin so the window never clips (offsets lie in (-s, 2s)).
     """
     s = out_size
     T = region.shape[0]
     C = 2 * s + 2
-    flat = tile_rows.reshape(-1, s, 3)  # rows of s pixels
+    CB = C + 2 * s  # s-wide margins: any window start lands in-bounds
 
     offx = offset[:, 0].astype(jnp.int32)
     offy = offset[:, 1].astype(jnp.int32)
 
-    # vertical shift: R[k, by] = tile_k[by - 1 - offy_k]  (row gather)
-    by = jnp.arange(C, dtype=jnp.int32)[None, :]          # (1, C)
-    rowidx = slot_rows[:, None] * s + jnp.clip(by - 1 - offy[:, None],
-                                               0, s - 1)
-    R = jnp.take(flat, rowidx.reshape(-1), axis=0).reshape(T, C, s, 3)
-
-    # horizontal shift on the transposed rows: R2[k, bx, by]
-    RT = R.transpose(0, 2, 1, 3).reshape(T * s, C, 3)     # (T*s, C_y, 3)
-    colidx = (jnp.arange(T, dtype=jnp.int32)[:, None] * s
-              + jnp.clip(by - 1 - offx[:, None], 0, s - 1))
-    R2 = jnp.take(RT, colidx.reshape(-1), axis=0).reshape(T, C, C, 3)
-    # R2[k, bx, by] = tile_k[by-1-offy, bx-1-offx]
-
-    # ownership fold (ascending slot = paste order) + owner ids.
-    # NOTE (r4, measured): moving HSV per-slot onto the gathered rows R
-    # (deleting the own/g folds) is bit-identical but SLOWER — R holds
-    # clip-duplicated rows (T·C·s ≈ 4.5× the canvas cells), so slot-level
-    # HSV does 4.5× the work: 67 → 81 ms/batch.  Canvas-level HSV via the
-    # owner-id fold below is the cheaper placement.
-    qx = jax.lax.broadcasted_iota(jnp.float32, (C, C), 0) - 1.0  # cell x
-    qy = jax.lax.broadcasted_iota(jnp.float32, (C, C), 1) - 1.0  # cell y
-    cvT = jnp.full((C, C, 3), _PAD_U8, jnp.uint8)
-    own = jnp.full((C, C), T, jnp.int32)
+    buf = jnp.full((CB, CB, 3), _PAD_U8, jnp.uint8)
+    obuf = jnp.full((CB, CB), T, jnp.int32)
+    wy = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    wx = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
     for k in range(T):
+        tile = jax.lax.dynamic_index_in_dim(tile_rows, slot_rows[k],
+                                            axis=0, keepdims=False)
+        # window covers canvas cells q = offset_k + (i, j), i.e. exactly
+        # the cells whose source pixel is tile[(i, j)]
+        qx = wx + offx[k].astype(jnp.float32)
+        qy = wy + offy[k].astype(jnp.float32)
         inside = ((qx >= region[k, 0]) & (qx < region[k, 2])
                   & (qy >= region[k, 1]) & (qy < region[k, 3]))
-        cvT = jnp.where(inside[..., None], R2[k], cvT)
-        own = jnp.where(inside, k, own)
+        py = offy[k] + 1 + s  # buffer coords: b = q + 1 + s
+        px = offx[k] + 1 + s
+        cur = jax.lax.dynamic_slice(buf, (py, px, 0), (s, s, 3))
+        curo = jax.lax.dynamic_slice(obuf, (py, px), (s, s))
+        cur = jnp.where(inside[..., None], tile, cur)
+        curo = jnp.where(inside, k, curo)
+        buf = jax.lax.dynamic_update_slice(buf, cur, (py, px, 0))
+        obuf = jax.lax.dynamic_update_slice(obuf, curo, (py, px))
+    core = jax.lax.slice(buf, (s, s, 0), (s + C, s + C, 3))
+    own = jax.lax.slice(obuf, (s, s), (s + C, s + C))
+    return core, own
 
-    # per-tile HSV through the owner id (selects, not gathers)
-    g = jnp.ones((C, C, 3), jnp.float32)
+
+def _hsv_canvas(canvas, own, hsv, T: int):
+    """Per-tile HSV through the owner id (selects, not gathers).
+
+    NOTE (r4, measured): applying HSV per-slot before ownership resolves
+    is bit-identical but does up to 2-4.5× the pixel work (overlapping /
+    clip-duplicated cells); canvas-level HSV touches each cell once.
+    """
+    g = jnp.ones(canvas.shape[:2] + (3,), jnp.float32)
     for k in range(T):
         g = jnp.where((own == k)[..., None], hsv[k], g)
-    col = cvT.astype(jnp.float32)
+    col = canvas.astype(jnp.float32)
     ident = jnp.all(g == 1.0, axis=-1, keepdims=True)
     col = jnp.where(ident, col, hsv_jitter(col, g))
-    # transpose (bx, by) -> (by, bx): standard (row=y, col=x) canvas
-    return jnp.round(col).astype(jnp.uint8).transpose(1, 0, 2)
+    return jnp.round(col).astype(jnp.uint8)
+
+
+def _canvas_one(tile_rows, slot_rows, region, offset, hsv, out_size: int):
+    """One spec -> (C, C, 3) uint8 HSV-jittered canvas, C = 2s + 2."""
+    core, own = _paste_canvas(tile_rows, slot_rows, region, offset,
+                              out_size)
+    return _hsv_canvas(core, own, hsv, region.shape[0])
 
 
 def _pack_blocks(canvas):
@@ -403,17 +426,26 @@ def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
     """
     s = tiles.shape[2]
     T = tiles.shape[1]
+    B = region.shape[0]
     rows = jnp.arange(T, dtype=jnp.int32)
+    # canvas-based paths unroll over specs: the paste's per-spec
+    # dynamic_update_slice starts would lower to scatters under vmap
     if method == "pallas":
         imgs = _render_pallas(
-            lambda: jax.vmap(
-                lambda t, r, o, g: _canvas_one(t, rows, r, o, g, s)
-            )(tiles, region, offset, hsv),
+            lambda: jnp.stack([
+                _canvas_one(tiles[b], rows, region[b], offset[b], hsv[b], s)
+                for b in range(B)
+            ]),
             minv, s)
+    elif method == "canvas":
+        imgs = jnp.stack([
+            _render_one_canvas(tiles[b], rows, region[b], offset[b],
+                               hsv[b], minv[b], s)
+            for b in range(B)
+        ])
     else:
-        fn = _render_one_canvas if method == "canvas" else _render_one
         imgs = jax.vmap(
-            lambda t, r, o, g, m: fn(t, rows, r, o, g, m, s)
+            lambda t, r, o, g, m: _render_one(t, rows, r, o, g, m, s)
         )(tiles, region, offset, hsv, minv)      # (B, s, s, 3) in [0,255]
     return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out, out_dtype)
 
@@ -437,16 +469,25 @@ def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
     differ.
     """
     s = bank.shape[1]
+    B = region.shape[0]
+    # canvas-based paths unroll over specs (see render_specs)
     if method == "pallas":
         imgs = _render_pallas(
-            lambda: jax.vmap(
-                lambda ti, r, o, g: _canvas_one(bank, ti, r, o, g, s)
-            )(tile_idx, region, offset, hsv),
+            lambda: jnp.stack([
+                _canvas_one(bank, tile_idx[b], region[b], offset[b],
+                            hsv[b], s)
+                for b in range(B)
+            ]),
             minv, s)
+    elif method == "canvas":
+        imgs = jnp.stack([
+            _render_one_canvas(bank, tile_idx[b], region[b], offset[b],
+                               hsv[b], minv[b], s)
+            for b in range(B)
+        ])
     else:
-        fn = _render_one_canvas if method == "canvas" else _render_one
         imgs = jax.vmap(
-            lambda ti, r, o, g, m: fn(bank, ti, r, o, g, m, s)
+            lambda ti, r, o, g, m: _render_one(bank, ti, r, o, g, m, s)
         )(tile_idx, region, offset, hsv, minv)
     return _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out, out_dtype)
 
