@@ -49,6 +49,15 @@ def get_lib():
             ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.nms_rotated.restype = ctypes.c_int64
+        lib.match_rotated.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.match_rotated.restype = None
         _lib = lib
         return lib
 
@@ -81,3 +90,28 @@ def nms_rotated_native(boxes, scores, iou_threshold: float) -> np.ndarray:
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return keep[:cnt]
+
+
+def match_rotated_native(pred_geom, pred_cls, tar_geom, tar_cls,
+                         iouv) -> np.ndarray:
+    """Per-image eval matching (reference ``test.py:121-145`` protocol).
+
+    ``pred_geom``/``tar_geom``: degree boxes; predictions in confidence
+    order.  Returns the ``(n, len(iouv))`` bool TP matrix, bit-identical
+    to the Python matcher in :mod:`ryolo_tpu.eval.metrics` (same C++ IoU
+    core, f32-rounded values, first-max argmax, first-claim-per-target).
+    """
+    pg = np.ascontiguousarray(pred_geom, np.float32)
+    pc = np.ascontiguousarray(pred_cls, np.float32)
+    tg = np.ascontiguousarray(tar_geom, np.float32)
+    tc = np.ascontiguousarray(tar_cls, np.float32)
+    iv = np.ascontiguousarray(iouv, np.float64)
+    n, m, k = len(pg), len(tg), len(iv)
+    tp = np.zeros((n, k), np.uint8)
+    if n:
+        get_lib().match_rotated(
+            _fptr(pg), _fptr(pc), n, _fptr(tg), _fptr(tc), m,
+            iv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), k,
+            tp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    return tp.astype(bool)

@@ -119,6 +119,47 @@ void pairwise_rotated_iou(const float* boxes1, int64_t n, const float* boxes2,
   }
 }
 
+// Per-image eval matcher (the reference protocol of test.py:121-145):
+// predictions in confidence-descending order each claim their argmax
+// same-class target iff IoU > iouv[0] and the target is unclaimed; the
+// TP flag at threshold j is (IoU > iouv[j]).
+//
+// Bit-identical to the Python matcher in ryolo_tpu/eval/metrics.py: IoU
+// values round through float32 before the threshold compares (the Python
+// path stores the pairwise matrix as f32), argmax keeps the FIRST max
+// (strict >), and first-claim-per-target equals the unique-first-index
+// formulation (see match_image_detections' equivalence argument).
+//
+// pred_geom: (n, 5) degree boxes in confidence order; pred_cls: (n,);
+// tar_geom: (m, 5); tar_cls: (m,); iouv: (k,) float64 ascending;
+// tp_out: (n, k) uint8 (written 0/1).
+void match_rotated(const float* pred_geom, const float* pred_cls, int64_t n,
+                   const float* tar_geom, const float* tar_cls, int64_t m,
+                   const double* iouv, int64_t k, uint8_t* tp_out) {
+  std::memset(tp_out, 0, size_t(n) * k);
+  if (n == 0 || m == 0) return;
+  std::vector<char> claimed(m, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* pb = pred_geom + i * 5;
+    const float pc = pred_cls[i];
+    float best = -1.0f;
+    int64_t best_j = -1;
+    for (int64_t j = 0; j < m; ++j) {
+      if (tar_cls[j] != pc) continue;
+      const float iou = float(iou_single(pb, tar_geom + j * 5));
+      if (iou > best) {  // strict: first max wins, like np.argmax
+        best = iou;
+        best_j = j;
+      }
+    }
+    if (best_j < 0 || !(double(best) > iouv[0]) || claimed[best_j]) continue;
+    claimed[best_j] = 1;
+    for (int64_t t = 0; t < k; ++t) {
+      tp_out[i * k + t] = double(best) > iouv[t] ? 1 : 0;
+    }
+  }
+}
+
 // Greedy rotated NMS.  boxes: (n, 5), scores: (n,).  keep_out: (n,) int64
 // filled with kept indices in descending-score order; returns kept count.
 int64_t nms_rotated(const float* boxes, const float* scores, int64_t n,
