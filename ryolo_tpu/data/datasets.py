@@ -40,6 +40,17 @@ from ryolo_tpu.geometry import csl_gaussian_labels_np
 PAD_VALUE = (114, 114, 114)
 
 
+def pack_tile_u32(img_bgr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) BGR uint8 -> (w, h) uint32 packed RGB, x-major.
+
+    The device renderer's tile layout (see the layout note in
+    :mod:`ryolo_tpu.data.device_augment`): word = R | G<<8 | B<<16, row
+    index x (image column), lane index y (image row).
+    """
+    rgb = img_bgr[:, :, ::-1].astype(np.uint32)
+    return (rgb[..., 0] | (rgb[..., 1] << 8) | (rgb[..., 2] << 16)).T
+
+
 def polys_to_xywha_np(polys: np.ndarray) -> np.ndarray:
     """Numpy twin of :func:`ryolo_tpu.geometry.xyxyxyxy2xywha` (``(N, 8)``)."""
     x1, y1, x2, y2, x3, y3, x4, y4 = [polys[:, i] for i in range(8)]
@@ -222,23 +233,27 @@ class BaseDataset:
         return img, (h, w), img.shape[:2]
 
     def build_tile_bank(self) -> np.ndarray:
-        """Decode+resize the WHOLE dataset once -> (N, s, s, 3) uint8 RGB.
+        """Decode+resize the WHOLE dataset once -> (N, 3, s, s) uint8 RGB.
 
-        Each row holds one image resized to fit s×s, content top-left —
-        exactly the tile layout the per-spec render path ships — so a
-        device-resident copy of this array turns every later batch's image
-        traffic into (B, T) int32 bank indices (see
+        Rows are PACKED-RGB x-major (``bank[n, x, y]`` = R | G<<8 | B<<16
+        of pixel (row y, col x)), content top-left — exactly the tile
+        layout the per-spec render path ships (see the layout note in
+        :mod:`ryolo_tpu.data.device_augment`: channel-minor uint8 wastes
+        125/128 TPU lanes in the canvas paste, and uint8 windows are
+        pathological for read-modify-write slices).  A device-resident copy of
+        this array turns every later batch's image traffic into (B, T)
+        int32 bank indices (see
         :func:`ryolo_tpu.data.device_augment.render_specs_banked`).
-        N × s² × 3 bytes of HBM (1.9 MB/image at 800px); the caller
+        N × s² × 4 bytes of HBM (2.56 MB/image at 800px); the caller
         ``jax.device_put``s it once per training run.
         """
         s = self.img_size
         n = len(self.img_files)
-        bank = np.zeros((n, s, s, 3), np.uint8)
+        bank = np.zeros((n, s, s), np.uint32)
         for i in range(n):
             img, size0, size = self._load_resized(i)
             h, w = size
-            bank[i, :h, :w] = img[:, :, ::-1]  # BGR -> RGB, like the tiles
+            bank[i, :w, :h] = pack_tile_u32(img)
             self._bank_sizes[i] = (size0, size)
         return bank
 
@@ -451,7 +466,7 @@ class BaseDataset:
 
         s = self.img_size
         tiles = (None if banked
-                 else np.zeros((MAX_TILES, s, s, 3), np.uint8))
+                 else np.zeros((MAX_TILES, s, s), np.uint32))
         tile_idx = np.zeros((MAX_TILES,), np.int32)
         region = np.zeros((MAX_TILES, 4), np.float32)
         offset = np.zeros((MAX_TILES, 2), np.float32)
@@ -466,7 +481,8 @@ class BaseDataset:
                     (h0, w0), (h, w) = self._tile_meta(idx, True)
                 else:
                     img, (h0, w0), (h, w) = self._load_resized(idx)
-                    tiles[i, :h, :w] = img[:, :, ::-1]  # ship RGB
+                    # ship packed-RGB x-major (see device_augment layouts)
+                    tiles[i, :w, :h] = pack_tile_u32(img)
                 hsv[i] = self._draw_hsv_gains(rng)
                 tile_idx[i] = idx
                 (x1a, x2a, x1b, x2b), (y1a, y2a, y1b, y2b) = mosaic4_spans(
@@ -488,7 +504,7 @@ class BaseDataset:
                     (h0, w0), (h, w) = self._tile_meta(idx, True)
                 else:
                     img, (h0, w0), (h, w) = self._load_resized(idx)
-                    tiles[i, :h, :w] = img[:, :, ::-1]
+                    tiles[i, :w, :h] = pack_tile_u32(img)
                 hsv[i] = self._draw_hsv_gains(rng)
                 tile_idx[i] = idx
                 if i == 0:
@@ -616,8 +632,8 @@ class BaseDataset:
             (h0, w0), (h, w) = self._tile_meta(index, True)
         else:
             img, (h0, w0), (h, w) = self._load_resized(index)
-            tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
-            tiles[0, :h, :w] = img[:, :, ::-1]
+            tiles = np.zeros((MAX_TILES, s, s), np.uint32)
+            tiles[0, :w, :h] = pack_tile_u32(img)
         gains = self._draw_hsv_gains(rng)
         tile_idx = np.zeros((MAX_TILES,), np.int32)
         tile_idx[0] = index

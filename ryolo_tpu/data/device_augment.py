@@ -29,10 +29,18 @@ the SAME rng sequence as the numpy pipeline (parity pinned by
 ``tests/test_device_augment.py``).
 
 Layouts (B specs per batch, T = MAX_TILES tile slots, s = img_size):
-  * ``tiles``   (B, T, s, s, 3) uint8 — decoded sources, content top-left
-    (device-cache mode replaces this with ``tile_idx`` (B, T) int32 rows
-    into a dataset-wide device-resident bank — see
-    :func:`render_specs_banked`)
+  * ``tiles``   (B, T, s, s) uint32 — decoded sources, PACKED-RGB x-major
+    (``tiles[b, t, x, y]`` holds R | G<<8 | B<<16 of pixel (row y, col x)),
+    content top-left (device-cache mode replaces this with ``tile_idx``
+    (B, T) int32 rows into a dataset-wide device-resident bank — see
+    :func:`render_specs_banked`).  The packing is load-bearing for TPU:
+    a channel-minor uint8 array tiles its 3-wide minor dim onto the
+    128-lane axis (3/128 lane utilization — the r4 paste's 108 window
+    update-slices cost 0.109 ms EACH, ~22 ms of the 45 ms render), and
+    uint8 read-modify-write slices are themselves pathological (measured
+    231 vs 6.9 ms/batch for the same paste on packed u32 —
+    scripts/prof_paste.py).  One u32 word also carries the paste OWNER id
+    in its top byte, halving the RMW chain (no separate owner map).
   * ``region``  (B, T, 4) f32 — canvas-space ownership box [x1, y1, x2, y2)
     (zero-area for unused slots; later slots overwrite earlier ones)
   * ``offset``  (B, T, 2) f32 — canvas→source translation (sx = cx - ox)
@@ -118,6 +126,48 @@ def hsv_jitter(rgb, gains):
     return _hsv_to_rgb_u8(h, s, v)
 
 
+def _hsv_jitter_planar(r, g, b, gh, gs, gv):
+    """:func:`hsv_jitter` on channel PLANES (the very same f32 expressions
+    in the same order, so results are bit-identical; the stacked form's
+    minor-3 layout wastes 125/128 TPU lanes).  Returns (r, g, b) planes."""
+    # _rgb_to_hsv_u8 on planes
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    safe = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(
+        mx == r, (g - b) / safe,
+        jnp.where(mx == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe),
+    )
+    h = jnp.where(d > 0, h * 30.0, 0.0)
+    h = jnp.where(h < 0, h + 180.0, h)
+    h = jnp.round(h)
+    h = jnp.where(h >= 180.0, 0.0, h)
+    s = jnp.round(jnp.where(mx > 0, 255.0 * d / jnp.where(mx > 0, mx, 1.0),
+                            0.0))
+    v = mx
+    # the jitter (hsv_jitter body)
+    h = jnp.floor(h * gh) % 180.0
+    s = jnp.clip(jnp.floor(s * gs), 0.0, 255.0)
+    v = jnp.clip(jnp.floor(v * gv), 0.0, 255.0)
+    # _hsv_to_rgb_u8 on planes
+    h6 = h / 30.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    sf = s / 255.0
+    p = v * (1.0 - sf)
+    q = v * (1.0 - sf * f)
+    t = v * (1.0 - sf * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    ro = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4],
+                    [v, q, p, p, t], v)
+    go = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4],
+                    [t, v, v, q, p], p)
+    bo = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4],
+                    [p, p, t, v, v], q)
+    return jnp.round(ro), jnp.round(go), jnp.round(bo)
+
+
 # ---------------------------------------------------------------------------
 # The renderer
 # ---------------------------------------------------------------------------
@@ -132,14 +182,15 @@ def _render_one(tile_rows, slot_rows, region, offset, hsv, minv,
     HSV-jittered source pixel, so tile seams blend exactly like warping
     the materialized canvas would.
 
-    ``tile_rows`` is the gather source — (R, s, s, 3) uint8 rows, either
-    this spec's own T tiles or the whole device-resident dataset bank —
-    and ``slot_rows`` (T,) maps each spec slot to its row, so the banked
-    and per-spec paths share one gather (bit-identical outputs).
+    ``tile_rows`` is the gather source — (R, s, s) uint32 packed-RGB
+    x-major rows (``tile_rows[r, x, y]``), either this spec's own T tiles
+    or the whole device-resident dataset bank — and ``slot_rows`` (T,)
+    maps each spec slot to its row, so the banked and per-spec paths share
+    one gather (bit-identical outputs).
     """
     s = out_size
     T = region.shape[0]
-    flat = tile_rows.reshape(-1, 3)
+    flat = tile_rows.reshape(-1)  # (R*s*s,) packed words
 
     # output pixel grid -> canvas coords (cv2 warpAffine convention:
     # integer pixel centers, dst(x,y) = src(Minv @ (x, y, 1)))
@@ -183,9 +234,10 @@ def _render_one(tile_rows, slot_rows, region, offset, hsv, minv,
             g = jnp.where(sel[..., None], hsv[k], g)
         sx = jnp.clip(qx - offx, 0, s - 1)
         sy = jnp.clip(qy - offy, 0, s - 1)
-        lin = (row * s + sy.astype(jnp.int32)) * s + sx.astype(jnp.int32)
-        col = jnp.take(flat, lin, axis=0)
-        col = col.astype(jnp.float32)
+        # one packed word per tap (this is the readable-spec path; the
+        # production canvas/pallas paths never per-pixel gather)
+        lin = (row * s + sx.astype(jnp.int32)) * s + sy.astype(jnp.int32)
+        col = _unpack_rgb(jnp.take(flat, lin, axis=0))
         # identity gains skip the (quantizing) HSV round-trip entirely,
         # like the reference's early-out (lib/augmentations.py:31-32)
         ident = jnp.all(g == 1.0, axis=-1, keepdims=True)
@@ -244,23 +296,25 @@ _PAD_U8 = int(PAD)
 
 
 def _paste_canvas(tile_rows, slot_rows, region, offset, out_size: int):
-    """One spec -> ``((C, C, 3) uint8 canvas, (C, C) int32 owner ids)``.
+    """One spec -> ``(C, C) uint32`` canvas: packed RGB + owner id.
 
-    Buffer index b maps to canvas cell q = b - 1; cells outside every
-    region hold PAD (owner id T), exactly like the unowned taps of the
-    4-tap path.
+    Buffer cell ``[X, Y]`` (X = qx + 1 for canvas cell qx, x-major) holds
+    ``R | G<<8 | B<<16 | owner<<24``; cells outside every region hold PAD
+    with owner id T, exactly like the unowned taps of the 4-tap path.
+    The single u32 word per cell is load-bearing twice over: uint8
+    read-modify-write slices are pathological on TPU (measured 231 vs
+    6.9 ms/batch for this paste, scripts/prof_paste.py), and carrying the
+    owner in the top byte halves the RMW chain (no separate owner map).
 
-    Assembly is GATHER-FREE (the r4 design ran two row gathers — 35 +
-    69 MB per spec — plus a 9-slot full-canvas ownership fold, together
-    ~25 ms/batch of the renderer's 68): each slot's tile is pasted as one
-    contiguous s×s window read-modify-write at its integer canvas offset
+    Assembly is GATHER-FREE: each slot's tile is pasted as one contiguous
+    (s, s) window read-modify-write at its integer canvas offset
     (``dynamic_update_slice``), masked to the slot's region.  Ascending
     slot order = the mosaic paste order, so last-write-wins reproduces the
-    fold's ownership exactly; inside its region a window cell's source
-    index is the window coordinate itself (``q - offset ∈ [0, s)`` by
-    spec construction, datasets.get_render_spec), so pixels are
-    bit-identical to the gather formulation.  The buffer carries an
-    s-wide margin so the window never clips (offsets lie in (-s, 2s)).
+    reference's paste ownership exactly; inside its region a window cell's
+    source index is the window coordinate itself (``q - offset ∈ [0, s)``
+    by spec construction, datasets.get_render_spec), so pixels are
+    bit-identical to the gather formulation.  The buffer carries an s-wide
+    margin so the window never clips (offsets lie in (-s, 2s)).
     """
     s = out_size
     T = region.shape[0]
@@ -270,69 +324,82 @@ def _paste_canvas(tile_rows, slot_rows, region, offset, out_size: int):
     offx = offset[:, 0].astype(jnp.int32)
     offy = offset[:, 1].astype(jnp.int32)
 
-    buf = jnp.full((CB, CB, 3), _PAD_U8, jnp.uint8)
-    obuf = jnp.full((CB, CB), T, jnp.int32)
-    wy = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
-    wx = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    pad_word = _PAD_U8 | (_PAD_U8 << 8) | (_PAD_U8 << 16) | (T << 24)
+    buf = jnp.full((CB, CB), pad_word, jnp.uint32)
+    wx = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    wy = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
     for k in range(T):
         tile = jax.lax.dynamic_index_in_dim(tile_rows, slot_rows[k],
                                             axis=0, keepdims=False)
-        # window covers canvas cells q = offset_k + (i, j), i.e. exactly
-        # the cells whose source pixel is tile[(i, j)]
+        tile = tile | jnp.uint32(k << 24)
+        # window covers canvas cells q = offset_k + (wx, wy), i.e. exactly
+        # the cells whose source pixel is tile[wx, wy]
         qx = wx + offx[k].astype(jnp.float32)
         qy = wy + offy[k].astype(jnp.float32)
         inside = ((qx >= region[k, 0]) & (qx < region[k, 2])
                   & (qy >= region[k, 1]) & (qy < region[k, 3]))
-        py = offy[k] + 1 + s  # buffer coords: b = q + 1 + s
-        px = offx[k] + 1 + s
-        cur = jax.lax.dynamic_slice(buf, (py, px, 0), (s, s, 3))
-        curo = jax.lax.dynamic_slice(obuf, (py, px), (s, s))
-        cur = jnp.where(inside[..., None], tile, cur)
-        curo = jnp.where(inside, k, curo)
-        buf = jax.lax.dynamic_update_slice(buf, cur, (py, px, 0))
-        obuf = jax.lax.dynamic_update_slice(obuf, curo, (py, px))
-    core = jax.lax.slice(buf, (s, s, 0), (s + C, s + C, 3))
-    own = jax.lax.slice(obuf, (s, s), (s + C, s + C))
-    return core, own
+        px = offx[k] + 1 + s  # buffer coords: X = qx + 1 + s (margin)
+        py = offy[k] + 1 + s
+        cur = jax.lax.dynamic_slice(buf, (px, py), (s, s))
+        cur = jnp.where(inside, tile, cur)
+        buf = jax.lax.dynamic_update_slice(buf, cur, (px, py))
+    return jax.lax.slice(buf, (s, s), (s + C, s + C))
 
 
-def _hsv_canvas(canvas, own, hsv, T: int):
-    """Per-tile HSV through the owner id (selects, not gathers).
+def _hsv_canvas(core, hsv, T: int):
+    """Per-tile HSV through the owner byte (selects, not gathers).
 
-    NOTE (r4, measured): applying HSV per-slot before ownership resolves
-    is bit-identical but does up to 2-4.5× the pixel work (overlapping /
-    clip-duplicated cells); canvas-level HSV touches each cell once.
+    ``core`` (C, C) uint32 packed RGB + owner.  Unpacks to channel
+    PLANES, jitters, and emits the (3, C, C) planar uint8 canvas the warp
+    stage consumes.  NOTE (r4, measured): applying HSV per-slot before
+    ownership resolves is bit-identical but does up to 2-4.5× the pixel
+    work (overlapping / clip-duplicated cells); canvas-level HSV touches
+    each cell once.
     """
-    g = jnp.ones(canvas.shape[:2] + (3,), jnp.float32)
+    own = (core >> 24).astype(jnp.int32)
+    one = jnp.ones(core.shape, jnp.float32)
+    gh, gs, gv = one, one, one
     for k in range(T):
-        g = jnp.where((own == k)[..., None], hsv[k], g)
-    col = canvas.astype(jnp.float32)
-    ident = jnp.all(g == 1.0, axis=-1, keepdims=True)
-    col = jnp.where(ident, col, hsv_jitter(col, g))
-    return jnp.round(col).astype(jnp.uint8)
+        sel = own == k
+        gh = jnp.where(sel, hsv[k, 0], gh)
+        gs = jnp.where(sel, hsv[k, 1], gs)
+        gv = jnp.where(sel, hsv[k, 2], gv)
+    r = (core & 0xFF).astype(jnp.float32)
+    g = ((core >> 8) & 0xFF).astype(jnp.float32)
+    b = ((core >> 16) & 0xFF).astype(jnp.float32)
+    # identity gains skip the (quantizing) HSV round-trip entirely,
+    # like the reference's early-out (lib/augmentations.py:31-32)
+    ident = (gh == 1.0) & (gs == 1.0) & (gv == 1.0)
+    rj, gj, bj = _hsv_jitter_planar(r, g, b, gh, gs, gv)
+    r = jnp.where(ident, r, rj)
+    g = jnp.where(ident, g, gj)
+    b = jnp.where(ident, b, bj)
+    return jnp.stack([jnp.round(r), jnp.round(g), jnp.round(b)],
+                     axis=0).astype(jnp.uint8)
 
 
 def _canvas_one(tile_rows, slot_rows, region, offset, hsv, out_size: int):
-    """One spec -> (C, C, 3) uint8 HSV-jittered canvas, C = 2s + 2."""
-    core, own = _paste_canvas(tile_rows, slot_rows, region, offset,
-                              out_size)
-    return _hsv_canvas(core, own, hsv, region.shape[0])
+    """One spec -> (3, C, C) uint8 planar HSV-jittered canvas, C = 2s+2."""
+    core = _paste_canvas(tile_rows, slot_rows, region, offset, out_size)
+    return _hsv_canvas(core, hsv, region.shape[0])
 
 
 def _pack_blocks(canvas):
-    """(C, C, 3) uint8 canvas -> (C*C, 4) uint32 2x2-block table.
+    """(3, C, C) planar uint8 canvas -> (C*C, 4) uint32 2x2-block table.
 
-    Row (y*C + x) holds the packed RGB (low 24 bits) of cells (y, x),
-    (y, x+1), (y+1, x), (y+1, x+1); the +1 neighbours at the outer edge
-    read the PAD value (one extra PAD row/col — those cells are the ring
-    anyway, and per-tap validity masks handle everything further out).
+    Row (x*C + y) holds the packed RGB (low 24 bits) of cells (x, y),
+    (x+1, y), (x, y+1), (x+1, y+1) — i.e. the (c00, c01, c10, c11)
+    bilinear taps of an output pixel whose floor cell is (x, y); the +1
+    neighbours at the outer edge read the PAD value (one extra PAD
+    row/col — those cells are the ring anyway, and per-tap validity
+    masks handle everything further out).
     """
-    C = canvas.shape[0]
-    cp = jnp.pad(canvas, ((0, 1), (0, 1), (0, 0)),
+    C = canvas.shape[1]
+    cp = jnp.pad(canvas, ((0, 0), (0, 1), (0, 1)),
                  constant_values=_PAD_U8).astype(jnp.uint32)
-    packed = cp[..., 0] | (cp[..., 1] << 8) | (cp[..., 2] << 16)  # (C+1,C+1)
+    packed = cp[0] | (cp[1] << 8) | (cp[2] << 16)   # (C+1, C+1) [X, Y]
     blocks = jnp.stack(
-        [packed[:C, :C], packed[:C, 1:], packed[1:, :C], packed[1:, 1:]],
+        [packed[:C, :C], packed[1:, :C], packed[:C, 1:], packed[1:, 1:]],
         axis=-1,
     )
     return blocks.reshape(C * C, 4)
@@ -357,7 +424,7 @@ def _warp_block(canvas, minv, out_size: int):
     semantics, since every in-buffer non-content cell already holds PAD).
     """
     s = out_size
-    C = canvas.shape[0]
+    C = canvas.shape[1]
     table = _pack_blocks(canvas)
 
     ox = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
@@ -371,7 +438,7 @@ def _warp_block(canvas, minv, out_size: int):
 
     bx = jnp.clip(x0.astype(jnp.int32) + 1, 0, C - 1)     # buffer coords
     by = jnp.clip(y0.astype(jnp.int32) + 1, 0, C - 1)
-    quad = jnp.take(table, by * C + bx, axis=0)           # (s, s, 4) u32
+    quad = jnp.take(table, bx * C + by, axis=0)           # (s, s, 4) u32
 
     # If the block index did not clip, all four quad entries ARE the four
     # tap cells (ring/pad cells included, which hold PAD like unowned
@@ -399,20 +466,45 @@ def _render_one_canvas(tile_rows, slot_rows, region, offset, hsv, minv,
     return _warp_block(canvas, minv, out_size)
 
 
-def _render_pallas(canvas_fn, minv, out_size: int):
+def _render_pallas(make_canvas, B: int, n_out: int, mix_idx, minv,
+                   out_size: int):
     """Batch renderer for method="pallas": XLA canvases + MXU warp kernel.
 
-    ``canvas_fn`` maps a spec index axis to (B, C, C, 3) uint8 canvases
-    (the exact `_canvas_one` output); the warp stage then runs as the
-    Pallas one-hot-matmul kernel (`ryolo_tpu.ops.pallas_warp`) instead of
-    `_warp_block`'s per-pixel gather — ~3x below the TPU gather floor.
-    Output matches the gather renderers within 1 unit on <0.01% of pixels
-    (FMA-contraction ULPs at rounding boundaries; tests/test_pallas_warp.py).
-    """
-    from ryolo_tpu.ops.pallas_warp import warp_canvas_batch
+    ``make_canvas(b)`` builds spec b's (3, C, C) planar uint8 canvas (the
+    exact `_canvas_one` output — already the kernel's (b, channel, x, y)
+    patch layout, so no relayout sits between paste and warp); the warp
+    stage then runs as the Pallas one-hot-matmul kernel
+    (`ryolo_tpu.ops.pallas_warp`) instead of `_warp_block`'s per-pixel
+    gather — ~3x below the TPU gather floor.  Output matches the gather
+    renderers within 1 unit on <0.01% of pixels (FMA-contraction ULPs at
+    rounding boundaries; tests/test_pallas_warp.py).
 
-    canvases = canvas_fn()
-    return warp_canvas_batch(canvases, minv, out_size)
+    Mixup-partner slots (b >= n_out) that no base slot's ``mix_idx``
+    references are SKIPPED: their canvas build runs as a ``lax.cond``
+    no-op and the warp kernel PAD-fills their tiles without DMA or
+    matmul work.  Exact: `_mix_flip_tail` never consumes an unreferenced
+    partner's pixels (``jnp.where(has_mix, ...)`` discards them), and at
+    the reference mixup rate 0.15 only ~1.2 of the E = ceil(0.4·B)
+    partner slots are live per batch — the skip removes ~23% of the
+    renderer's device time.
+    """
+    from ryolo_tpu.ops.pallas_warp import warp_canvas_planar
+
+    C = 2 * out_size + 2
+    slot = jnp.arange(B, dtype=jnp.int32)
+    active = (slot < n_out) | jnp.any(
+        jnp.asarray(mix_idx)[None, :n_out] == slot[:, None], axis=1)
+    pad = jnp.full((3, C, C), _PAD_U8, jnp.uint8)
+    canvases = []
+    for b in range(B):
+        if b < n_out:  # base slots are always live
+            canvases.append(make_canvas(b))
+        else:
+            canvases.append(
+                jax.lax.cond(active[b], lambda b=b: make_canvas(b),
+                             lambda: pad))
+    return warp_canvas_planar(jnp.stack(canvases), minv, out_size,
+                              active=active)
 
 
 @functools.partial(jax.jit,
@@ -424,7 +516,7 @@ def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
     Spec slots ≥ ``n_out`` are mixup partners only.  See module docstring
     for layouts.
     """
-    s = tiles.shape[2]
+    s = tiles.shape[3]
     T = tiles.shape[1]
     B = region.shape[0]
     rows = jnp.arange(T, dtype=jnp.int32)
@@ -432,11 +524,9 @@ def render_specs(tiles, region, offset, hsv, minv, flip, mix_idx, mix_r,
     # dynamic_update_slice starts would lower to scatters under vmap
     if method == "pallas":
         imgs = _render_pallas(
-            lambda: jnp.stack([
-                _canvas_one(tiles[b], rows, region[b], offset[b], hsv[b], s)
-                for b in range(B)
-            ]),
-            minv, s)
+            lambda b: _canvas_one(tiles[b], rows, region[b], offset[b],
+                                  hsv[b], s),
+            B, n_out, mix_idx, minv, s)
     elif method == "canvas":
         imgs = jnp.stack([
             _render_one_canvas(tiles[b], rows, region[b], offset[b],
@@ -457,9 +547,10 @@ def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
                         method: str = "taps", out_dtype: str = "f"):
     """:func:`render_specs` gathering tiles from a device-RESIDENT bank.
 
-    ``bank`` is the whole decoded dataset — (N, s, s, 3) uint8 RGB, each
-    row an image resized to fit s×s with content top-left (exactly the
-    tile layout the per-spec path ships) — uploaded ONCE; ``tile_idx``
+    ``bank`` is the whole decoded dataset — (N, s, s) uint32 packed-RGB
+    x-major, each row an image resized to fit s×s with content top-left
+    (exactly the tile layout the per-spec path ships) — uploaded ONCE;
+    ``tile_idx``
     (B, T) int32 names each spec slot's bank row.  Per-batch host→device
     traffic drops from the (B, T, s, s, 3) tile pixels (~140 MB at 800px
     B=8) to a few KB of spec scalars, which is what makes device-side
@@ -468,17 +559,14 @@ def render_specs_banked(bank, tile_idx, region, offset, hsv, minv, flip,
     and ``method``: both paths run the same program, only the source rows
     differ.
     """
-    s = bank.shape[1]
+    s = bank.shape[2]
     B = region.shape[0]
     # canvas-based paths unroll over specs (see render_specs)
     if method == "pallas":
         imgs = _render_pallas(
-            lambda: jnp.stack([
-                _canvas_one(bank, tile_idx[b], region[b], offset[b],
-                            hsv[b], s)
-                for b in range(B)
-            ]),
-            minv, s)
+            lambda b: _canvas_one(bank, tile_idx[b], region[b], offset[b],
+                                  hsv[b], s),
+            B, n_out, mix_idx, minv, s)
     elif method == "canvas":
         imgs = jnp.stack([
             _render_one_canvas(bank, tile_idx[b], region[b], offset[b],

@@ -173,8 +173,11 @@ class DataLoader:
 
         s = self.dataset.img_size
         path, img, labels = self.dataset.get_sample(index, self._rng(index))
-        tiles = np.zeros((MAX_TILES, s, s, 3), np.uint8)
-        tiles[0] = np.round(img * 255.0).astype(np.uint8)
+        tiles = np.zeros((MAX_TILES, s, s), np.uint32)
+        # packed-RGB x-major tile layout (device_augment module docstring);
+        # get_sample emits RGB so pack directly (pack_tile_u32 takes BGR)
+        u8 = np.round(img * 255.0).astype(np.uint32)
+        tiles[0] = (u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16)).T
         region = np.zeros((MAX_TILES, 4), np.float32)
         region[0] = [0, 0, s, s]
         spec = {
@@ -206,7 +209,7 @@ class DataLoader:
                 for i in indices
             ]
         tiles = (np.zeros((BS, MAX_TILES), np.int32) if banked
-                 else np.zeros((BS, MAX_TILES, s, s, 3), np.uint8))
+                 else np.zeros((BS, MAX_TILES, s, s), np.uint32))
         region = np.zeros((BS, MAX_TILES, 4), np.float32)
         offset = np.zeros((BS, MAX_TILES, 2), np.float32)
         hsv = np.ones((BS, MAX_TILES, 3), np.float32)

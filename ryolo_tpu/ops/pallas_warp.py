@@ -61,13 +61,30 @@ MAX_ROW_NORM = (_SPAN - 2.0) / (TILE - 1.0)  # |minv row|_1 bound (~3.03)
 _PAD = 114.0         # reference border value (device_augment.PAD)
 
 
-def _warp_kernel(minv_ref, buf_ref, out_ref, patch_ref, sem,
+def _warp_kernel(minv_ref, active_ref, buf_ref, out_ref, patch_ref, sem,
                  *, s: int, xb: int, yb: int):
     cbuf = 2 * s + 2                     # canvas buffer dim (pre-pad)
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
+    # inactive spec (an unreferenced mixup-partner slot): PAD-fill the
+    # output tile and skip the DMA + matmul entirely — its pixels are
+    # never consumed (device_augment._mix_flip_tail masks them out)
+    act = active_ref[b]
+
+    @pl.when(act == 0)
+    def _pad_tile():
+        out_ref[0, 0, :, :] = jnp.full((3, _P), _PAD, jnp.float32)
+
+    @pl.when(act != 0)
+    def _warp_tile():
+        _warp_tile_body(minv_ref, buf_ref, out_ref, patch_ref, sem,
+                        b, i, j, cbuf, s, xb, yb)
+
+
+def _warp_tile_body(minv_ref, buf_ref, out_ref, patch_ref, sem,
+                    b, i, j, cbuf, s: int, xb: int, yb: int):
     m0 = minv_ref[b, 0]
     m1 = minv_ref[b, 1]
     m2 = minv_ref[b, 2]
@@ -183,14 +200,36 @@ def fits_pallas_warp(minv, out_size: int) -> bool:
 def warp_canvas_batch(canvases, minv, out_size: int, interpret=None):
     """Warp (B, C, C, 3) uint8 canvases (C = 2s+2) -> (B, s, s, 3) f32.
 
-    Matches ``device_augment._warp_block`` applied per spec (values
-    rounded to integers in [0, 255], PAD outside the canvas).  ``minv``
-    is (B, 2, 3) f32; rows must satisfy :func:`fits_pallas_warp`.
+    Channel-minor legacy entry (kept for the layout-agnostic tests):
+    transposes to the planar (B, 3, x, y) layout the kernel wants and
+    defers to :func:`warp_canvas_planar`.  The production renderer builds
+    its canvases planar from the start and calls the planar entry
+    directly — no relayout on the hot path.
+    """
+    return warp_canvas_planar(canvases.transpose(0, 3, 2, 1), minv,
+                              out_size, interpret=interpret)
+
+
+def warp_canvas_planar(canvases, minv, out_size: int, interpret=None,
+                       active=None):
+    """Warp (B, 3, C, C) PLANAR x-major uint8 canvases -> (B, s, s, 3) f32.
+
+    ``canvases[b, c, X, Y]`` holds canvas cell (x, y) = (X-1, Y-1) of
+    channel c (the exact ``device_augment._canvas_one`` output layout,
+    which is also the kernel's DMA patch layout).  Matches
+    ``device_augment._warp_block`` applied per spec (values rounded to
+    integers in [0, 255], PAD outside the canvas).  ``minv`` is (B, 2, 3)
+    f32; rows must satisfy :func:`fits_pallas_warp`.
+
+    ``active`` ((B,) bool/int, optional): specs with a zero entry skip
+    the DMA + matmul and PAD-fill their output (used for unreferenced
+    mixup-partner slots, whose pixels are never consumed).
     """
     s = int(out_size)
-    B, C = canvases.shape[0], canvases.shape[1]
-    if C != 2 * s + 2:
-        raise ValueError(f"canvas dim {C} != 2*{s}+2")
+    B, C = canvases.shape[0], canvases.shape[2]
+    if canvases.shape[1] != 3 or C != 2 * s + 2:
+        raise ValueError(f"canvas shape {canvases.shape} != (B, 3, "
+                         f"{2 * s + 2}, {2 * s + 2})")
     if s % TILE != 0:
         raise ValueError(f"out_size {s} unsupported (needs %{TILE}==0)")
     ny = nx = s // TILE
@@ -202,15 +241,18 @@ def warp_canvas_batch(canvases, minv, out_size: int, interpret=None):
     # cells reach at most cbuf+1; see kernel origin derivation)
     xb = C + 1 + _PWX
     yb = C + 1 + _PWY
-    buf = jnp.pad(canvases, ((0, 0), (0, yb - C), (0, xb - C), (0, 0)),
+    buf = jnp.pad(canvases, ((0, 0), (0, 0), (0, xb - C), (0, yb - C)),
                   constant_values=int(_PAD))
-    buf = buf.transpose(0, 3, 2, 1)      # (B, 3, x, y) planar, x-major
 
+    if active is None:
+        active = jnp.ones((B,), jnp.int32)
     out = pl.pallas_call(
         functools.partial(_warp_kernel, s=s, xb=xb, yb=yb),
         grid=(B, ny, nx),
         in_specs=[
             pl.BlockSpec((B, 6), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda b, i, j: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -223,7 +265,8 @@ def warp_canvas_batch(canvases, minv, out_size: int, interpret=None):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(minv.astype(jnp.float32).reshape(B, 6), buf)
+    )(minv.astype(jnp.float32).reshape(B, 6),
+      jnp.asarray(active).astype(jnp.int32), buf)
 
     out = out.reshape(B, ny, nx, 3, TILE, TILE)
     return out.transpose(0, 1, 4, 2, 5, 3).reshape(B, s, s, 3)

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--methods", default="canvas,pallas",
+                    help="comma-separated renderer methods to time "
+                         "(the canvas gather path costs minutes of remote "
+                         "compile; pass --methods pallas to skip it)")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +71,7 @@ def main():
     # bits, the renders dedup, and the loop measures RTT-bound checksum
     # programs instead (the ADVICE r3 below-ulp bug pattern).
     outs = {}
-    for method in ("canvas", "pallas"):
+    for method in args.methods.split(","):
         img = render_batch(sa, n_out=args.batch, bank=bank, method=method)
         # compile + forced warm; kept for the cross-check — the timed
         # loop's chained HSV bumps differ between methods, so its last
@@ -89,7 +93,7 @@ def main():
               f"({args.batch / ms * 1e3:7.1f} img/s renderer-only)",
               flush=True)
 
-    if not args.no_check:
+    if not args.no_check and len(outs) == 2:
         d = np.abs(outs["canvas"] * 255.0 - outs["pallas"] * 255.0)
         print(f"cross-check: max|diff| {d.max():.3f} "
               f"(u8 units), {(d > 0).mean():.2e} pixels differ", flush=True)

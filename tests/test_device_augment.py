@@ -143,7 +143,8 @@ def test_spec_loader_batches(synth):
     sb = next(iter(sl))
     hb = next(iter(hl))
     E = sl.extra_slots
-    assert sb["spec_tiles"].shape == (4 + E, 9, 96, 96, 3)
+    assert sb["spec_tiles"].shape == (4 + E, 9, 96, 96)  # packed-RGB x-major
+    assert sb["spec_tiles"].dtype == np.uint32
     assert sb["spec_minv"].shape == (4 + E, 2, 3)
     assert sb["spec_flip"].shape == (4, 2)
     np.testing.assert_allclose(sb["tgt"], hb["tgt"], rtol=1e-5, atol=1e-5)
@@ -163,7 +164,7 @@ def test_banked_specs_bit_identical(synth):
 
     ds = _dataset(synth)
     bank = jnp.asarray(ds.build_tile_bank())
-    assert bank.shape == (len(ds), 96, 96, 3) and bank.dtype == jnp.uint8
+    assert bank.shape == (len(ds), 96, 96) and bank.dtype == jnp.uint32
 
     pl = DataLoader(ds, batch_size=4, csl=True, device_augment=True,
                     max_targets=32, seed=11, shuffle=False)

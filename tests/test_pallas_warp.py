@@ -54,7 +54,8 @@ def test_kernel_matches_warp_block():
         np.array([[1, 0, 9000], [0, 1, -9000]], np.float32),
     ])
     ref = np.stack([
-        np.asarray(_warp_block(jnp.asarray(canv[k]), jnp.asarray(minv[k]), s))
+        np.asarray(_warp_block(jnp.asarray(canv[k].transpose(2, 1, 0)),
+                               jnp.asarray(minv[k]), s))  # planar x-major
         for k in range(4)
     ])
     got = np.asarray(warp_canvas_batch(jnp.asarray(canv),
@@ -84,7 +85,8 @@ def test_kernel_window_edges():
         np.array([[d, d, 20.2], [-d, d, 40.7]], np.float32),
     ])
     ref = np.stack([
-        np.asarray(_warp_block(jnp.asarray(canv[k]), jnp.asarray(minv[k]), s))
+        np.asarray(_warp_block(jnp.asarray(canv[k].transpose(2, 1, 0)),
+                               jnp.asarray(minv[k]), s))  # planar x-major
         for k in range(3)
     ])
     got = np.asarray(warp_canvas_batch(jnp.asarray(canv),
