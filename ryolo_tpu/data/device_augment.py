@@ -328,21 +328,37 @@ def _paste_canvas(tile_rows, slot_rows, region, offset, out_size: int):
     buf = jnp.full((CB, CB), pad_word, jnp.uint32)
     wx = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
     wy = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
-    for k in range(T):
+
+    # Occupancy-proportional paste: used slots are always a PREFIX of the
+    # slot axis (mosaic-4 fills 0-3, mosaic-9 0-8, letterbox just 0 —
+    # datasets._spec_mosaic/_spec_letterbox_warp), so a dynamic-trip
+    # fori_loop pastes only the live windows (zero-area regions would be
+    # all-masked no-op RMWs; at the reference's 0.8/0.2 mosaic-4/9 mix
+    # that is 5/9 of the paste traffic skipped).
+    n_used = jnp.sum((region[:, 2] > region[:, 0])
+                     & (region[:, 3] > region[:, 1]), dtype=jnp.int32)
+
+    def body(k, buf):
         tile = jax.lax.dynamic_index_in_dim(tile_rows, slot_rows[k],
                                             axis=0, keepdims=False)
-        tile = tile | jnp.uint32(k << 24)
+        tile = tile | (k.astype(jnp.uint32) << 24)
+        reg = jax.lax.dynamic_index_in_dim(region, k, axis=0,
+                                           keepdims=False)
+        ox = jax.lax.dynamic_index_in_dim(offx, k, keepdims=False)
+        oy = jax.lax.dynamic_index_in_dim(offy, k, keepdims=False)
         # window covers canvas cells q = offset_k + (wx, wy), i.e. exactly
         # the cells whose source pixel is tile[wx, wy]
-        qx = wx + offx[k].astype(jnp.float32)
-        qy = wy + offy[k].astype(jnp.float32)
-        inside = ((qx >= region[k, 0]) & (qx < region[k, 2])
-                  & (qy >= region[k, 1]) & (qy < region[k, 3]))
-        px = offx[k] + 1 + s  # buffer coords: X = qx + 1 + s (margin)
-        py = offy[k] + 1 + s
+        qx = wx + ox.astype(jnp.float32)
+        qy = wy + oy.astype(jnp.float32)
+        inside = ((qx >= reg[0]) & (qx < reg[2])
+                  & (qy >= reg[1]) & (qy < reg[3]))
+        px = ox + 1 + s  # buffer coords: X = qx + 1 + s (margin)
+        py = oy + 1 + s
         cur = jax.lax.dynamic_slice(buf, (px, py), (s, s))
         cur = jnp.where(inside, tile, cur)
-        buf = jax.lax.dynamic_update_slice(buf, cur, (px, py))
+        return jax.lax.dynamic_update_slice(buf, cur, (px, py))
+
+    buf = jax.lax.fori_loop(0, n_used, body, buf)
     return jax.lax.slice(buf, (s, s), (s + C, s + C))
 
 
@@ -631,19 +647,28 @@ def render_batch(arrays, n_out: int, bank=None, method: str = "taps",
 
 def _mix_flip_tail(imgs, flip, mix_idx, mix_r, n_out: int,
                    out_dtype: str = "f"):
+    # ``imgs`` carries rounded integers in [0, 255] — in f32 (gather
+    # renderers) or bf16 (Pallas warp output; bf16 holds these integers
+    # EXACTLY).  All value-producing math runs in f32 on exact upcasts, so
+    # results are bit-identical across the two carriers; selects/flips
+    # stay in the carrier dtype (permutations/selection only), which
+    # halves their bytes on the bf16 path.
+    dt = imgs.dtype
     base = imgs[:n_out]
     has_mix = mix_idx[:n_out] >= 0
     partner = jnp.take(imgs, jnp.maximum(mix_idx[:n_out], 0), axis=0)
     r = mix_r[:n_out][:, None, None, None]
     # reference mixup: float blend then uint8 truncation
-    # (lib/augmentations.py:23-27)
-    mixed = jnp.floor(base * r + partner * (1.0 - r))
+    # (lib/augmentations.py:23-27); the floor output is again an integer
+    # in [0, 255], exact in bf16
+    mixed = jnp.floor(base.astype(jnp.float32) * r
+                      + partner.astype(jnp.float32) * (1.0 - r)).astype(dt)
     out = jnp.where(has_mix[:, None, None, None], mixed, base)
 
     do_lr = flip[:n_out, 0][:, None, None, None]
     do_ud = flip[:n_out, 1][:, None, None, None]
     out = jnp.where(do_lr, out[:, :, ::-1, :], out)
     out = jnp.where(do_ud, out[:, ::-1, :, :], out)
-    out = out / 255.0
+    out = out.astype(jnp.float32) / 255.0
     # same rounding as the consumer's own input cast (f32 /255 then cast)
     return out.astype(jnp.dtype(out_dtype)) if out_dtype != "f" else out

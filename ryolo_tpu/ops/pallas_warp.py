@@ -61,42 +61,20 @@ MAX_ROW_NORM = (_SPAN - 2.0) / (TILE - 1.0)  # |minv row|_1 bound (~3.03)
 _PAD = 114.0         # reference border value (device_augment.PAD)
 
 
-def _warp_kernel(minv_ref, active_ref, buf_ref, out_ref, patch_ref, sem,
-                 *, s: int, xb: int, yb: int):
-    cbuf = 2 * s + 2                     # canvas buffer dim (pre-pad)
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+def _patch_origin(minv_ref, b, i, j, xb: int, yb: int):
+    """Patch origin: canvas-buffer coords of tile (b, i, j)'s min tap.
 
-    # inactive spec (an unreferenced mixup-partner slot): PAD-fill the
-    # output tile and skip the DMA + matmul entirely — its pixels are
-    # never consumed (device_augment._mix_flip_tail masks them out)
-    act = active_ref[b]
-
-    @pl.when(act == 0)
-    def _pad_tile():
-        out_ref[0, 0, :, :] = jnp.full((3, _P), _PAD, jnp.float32)
-
-    @pl.when(act != 0)
-    def _warp_tile():
-        _warp_tile_body(minv_ref, buf_ref, out_ref, patch_ref, sem,
-                        b, i, j, cbuf, s, xb, yb)
-
-
-def _warp_tile_body(minv_ref, buf_ref, out_ref, patch_ref, sem,
-                    b, i, j, cbuf, s: int, xb: int, yb: int):
+    From the affine evaluated at the 4 tile corners (extrema of a linear
+    map), rounded down to the int8 memref tiling so the DMA slice is
+    provably tile-aligned (the buffer is end-padded past cbuf+1+window,
+    so the clip never truncates a window that holds valid taps).
+    """
     m0 = minv_ref[b, 0]
     m1 = minv_ref[b, 1]
     m2 = minv_ref[b, 2]
     m3 = minv_ref[b, 3]
     m4 = minv_ref[b, 4]
     m5 = minv_ref[b, 5]
-
-    # patch origin: canvas-buffer coords of the tile's min tap, from the
-    # affine evaluated at the 4 tile corners (extrema of a linear map),
-    # rounded down to the int8 memref tiling so the DMA slice is provably
-    # tile-aligned (the buffer is end-padded past cbuf+1+window, so the
-    # clip never truncates a window that holds valid taps)
     xl = (j * TILE).astype(jnp.float32)
     xr = xl + float(TILE - 1)
     yt = (i * TILE).astype(jnp.float32)
@@ -113,17 +91,83 @@ def _warp_tile_body(minv_ref, buf_ref, out_ref, patch_ref, sem,
     oy = jnp.clip(jnp.floor(cy_min).astype(jnp.int32) + 1, 0, yb - _PWY)
     ox = pl.multiple_of((ox // _AX) * _AX, _AX)
     oy = pl.multiple_of((oy // _AY) * _AY, _AY)
+    return ox, oy
 
-    dma = pltpu.make_async_copy(
+
+def _patch_dma(buf_ref, patch_ref, sem, minv_ref, b, i, j, slot,
+               xb: int, yb: int):
+    ox, oy = _patch_origin(minv_ref, b, i, j, xb, yb)
+    return pltpu.make_async_copy(
         buf_ref.at[b, :, pl.ds(ox, _PWX), pl.ds(oy, _PWY)],
-        patch_ref,
-        sem,
+        patch_ref.at[slot],
+        sem.at[slot],
     )
-    dma.start()
+
+
+def _warp_kernel(minv_ref, active_ref, buf_ref, out_ref, patch_ref, sem,
+                 *, s: int, xb: int, yb: int, nb: int, ny: int, nx: int):
+    """Grid step (b, i, j): one output tile, DOUBLE-BUFFERED patch DMA.
+
+    A single patch buffer serializes every grid step behind its own DMA
+    (~5,700 sequential DMA+compute pairs per batch — grid-latency bound,
+    not matmul bound).  Step n instead waits the patch PREFETCHED at step
+    n-1 into slot n%2 while slot (n+1)%2 fills for step n+1, so transfer
+    and matmul overlap.  Every started DMA is waited exactly once at its
+    own step (inactive specs included — skipping a wait would let a later
+    start land on an in-flight slot).
+    """
+    cbuf = 2 * s + 2                     # canvas buffer dim (pre-pad)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n = (b * ny + i) * nx + j            # flat sequential step index
+    slot = jax.lax.rem(n, 2)
+
+    @pl.when(n == 0)
+    def _first():                        # prologue: own patch, slot 0
+        _patch_dma(buf_ref, patch_ref, sem, minv_ref, b, i, j, 0,
+                   xb, yb).start()
+
+    @pl.when(n + 1 < nb * ny * nx)
+    def _prefetch():                     # next tile's patch, other slot
+        j2 = j + 1
+        i2 = jnp.where(j2 == nx, i + 1, i)
+        j2 = jnp.where(j2 == nx, 0, j2)
+        b2 = jnp.where(i2 == ny, b + 1, b)
+        i2 = jnp.where(i2 == ny, 0, i2)
+        _patch_dma(buf_ref, patch_ref, sem, minv_ref, b2, i2, j2,
+                   jax.lax.rem(n + 1, 2), xb, yb).start()
+
+    _patch_dma(buf_ref, patch_ref, sem, minv_ref, b, i, j, slot,
+               xb, yb).wait()
+
+    # inactive spec (an unreferenced mixup-partner slot): PAD-fill the
+    # output tile and skip the matmul — its pixels are never consumed
+    # (device_augment._mix_flip_tail masks them out)
+    act = active_ref[b]
+
+    @pl.when(act == 0)
+    def _pad_tile():
+        out_ref[0, 0, :, :] = jnp.full((3, _P), _PAD, jnp.bfloat16)
+
+    @pl.when(act != 0)
+    def _warp_tile():
+        _warp_tile_body(minv_ref, out_ref, patch_ref.at[slot], b, i, j,
+                        cbuf, s, xb, yb)
+
+
+def _warp_tile_body(minv_ref, out_ref, patch_ref, b, i, j, cbuf,
+                    s: int, xb: int, yb: int):
+    m0 = minv_ref[b, 0]
+    m1 = minv_ref[b, 1]
+    m2 = minv_ref[b, 2]
+    m3 = minv_ref[b, 3]
+    m4 = minv_ref[b, 4]
+    m5 = minv_ref[b, 5]
+    ox, oy = _patch_origin(minv_ref, b, i, j, xb, yb)
 
     # per-pixel canvas coords, lane-major (pixel index on lanes): the very
     # expressions of device_augment._warp_block, so fx/fy/ok match in f32
-    # (built while the patch DMA is in flight)
     p = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
     px = (j * TILE + p % TILE).astype(jnp.float32)
     py = (i * TILE + p // TILE).astype(jnp.float32)
@@ -156,7 +200,6 @@ def _warp_tile_body(minv_ref, buf_ref, out_ref, patch_ref, sem,
     w10 = (1 - fx) * fy
     w11 = fx * fy
 
-    dma.wait()
     # Mosaic has no unsigned->float cast; hop through int32 (exact).  The
     # 3 channels stack along x so ONE matmul serves the whole tile.
     pc = (patch_ref[:].reshape(3 * _PWX, _PWY)
@@ -175,7 +218,11 @@ def _warp_tile_body(minv_ref, buf_ref, out_ref, patch_ref, sem,
         v01 = c1 - 1024.0 * v11
         out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
         out = jnp.where(ok, out, _PAD)
-        out_ref[0, 0, ch, :] = jnp.round(out)[0]
+        # bf16 stores: rounded pixel values are integers in [0, 255] —
+        # exact in bf16 (8 effective mantissa bits) — and the output
+        # relayout chain (tile-blocked -> NHWC, ~4 ms/batch in f32)
+        # halves its bytes; consumers upcast to f32 exactly
+        out_ref[0, 0, ch, :] = jnp.round(out)[0].astype(jnp.bfloat16)
 
 
 def fits_hyp(hyp, out_size: int) -> bool:
@@ -206,13 +253,16 @@ def warp_canvas_batch(canvases, minv, out_size: int, interpret=None):
     its canvases planar from the start and calls the planar entry
     directly — no relayout on the hot path.
     """
-    return warp_canvas_planar(canvases.transpose(0, 3, 2, 1), minv,
-                              out_size, interpret=interpret)
+    out = warp_canvas_planar(canvases.transpose(0, 3, 2, 1), minv,
+                             out_size, interpret=interpret)
+    return out.astype(jnp.float32)  # legacy f32 contract (values exact)
 
 
 def warp_canvas_planar(canvases, minv, out_size: int, interpret=None,
                        active=None):
-    """Warp (B, 3, C, C) PLANAR x-major uint8 canvases -> (B, s, s, 3) f32.
+    """Warp (B, 3, C, C) PLANAR x-major uint8 canvases -> (B, s, s, 3)
+    bfloat16 (EXACT: every value is a rounded integer in [0, 255], which
+    bf16 represents exactly — upcasting gives the identical f32).
 
     ``canvases[b, c, X, Y]`` holds canvas cell (x, y) = (X-1, Y-1) of
     channel c (the exact ``device_augment._canvas_one`` output layout,
@@ -247,7 +297,8 @@ def warp_canvas_planar(canvases, minv, out_size: int, interpret=None,
     if active is None:
         active = jnp.ones((B,), jnp.int32)
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, s=s, xb=xb, yb=yb),
+        functools.partial(_warp_kernel, s=s, xb=xb, yb=yb, nb=B, ny=ny,
+                          nx=nx),
         grid=(B, ny, nx),
         in_specs=[
             pl.BlockSpec((B, 6), lambda b, i, j: (0, 0),
@@ -259,10 +310,10 @@ def warp_canvas_planar(canvases, minv, out_size: int, interpret=None,
         out_specs=pl.BlockSpec(
             (1, 1, 3, _P), lambda b, i, j: (b, i * nx + j, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, ny * nx, 3, _P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, ny * nx, 3, _P), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((3, _PWX, _PWY), jnp.uint8),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 3, _PWX, _PWY), jnp.uint8),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(minv.astype(jnp.float32).reshape(B, 6),
