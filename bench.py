@@ -398,18 +398,36 @@ def bench_eval_ips(model, variables, n_images: int = 48):
     variables = jax.device_put(variables)
     jax.block_until_ready(variables)
 
-    # warm pass compiles the eval step
-    evaluate(model, variables, None, data, hyp, csl=True, img_size=IMG,
-             batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,
-             max_targets=64, progress=False, batches=batches)
-    t0 = time.perf_counter()
+    # warm pass compiles the eval step (and is the mAP-of-record run: the
+    # measured passes below run on perturbed pixels)
     _, _, map50, _, _ = evaluate(
         model, variables, None, data, hyp, csl=True, img_size=IMG,
         batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,
-        max_targets=64, progress=False, batches=batches,
-    )
+        max_targets=64, progress=False, batches=batches)
+
+    # measured run: PASSES repeats of the val split in ONE evaluate() call
+    # (steady-state pipeline — a 3-batch run charges spin-up/drain to every
+    # batch), each pass XOR-perturbed on device so no two (program, inputs)
+    # executions repeat — the axon tunnel memoizes repeats ACROSS PROCESSES
+    # and would otherwise serve cached results (module docstring; the warm
+    # pass above already executed these exact batches)
+    import jax.numpy as jnp
+
+    PASSES = 3
+    seedb = (int(fresh_seed()) % 251) | 1  # odd: (p+1)*seedb % 256 != 0
+    measured = [
+        {k: (v ^ jnp.uint8((p + 1) * seedb % 256) if k == "images" else v)
+         for k, v in b.items()}
+        for p in range(PASSES) for b in batches
+    ]
+    jax.block_until_ready([b["images"] for b in measured])
+    t0 = time.perf_counter()
+    evaluate(model, variables, None, data, hyp, csl=True, img_size=IMG,
+             batch_size=BATCH, conf_thres=0.001, iou_thres=0.65,
+             max_targets=64, progress=False, batches=measured)
     dt = time.perf_counter() - t0
-    return n_val / dt, float(map50), n_val / (dt + load_s)
+    n_meas = n_val * PASSES
+    return n_meas / dt, float(map50), n_meas / (dt + PASSES * load_s)
 
 
 def device_ms_from_trace(trace_dir: str, steps: int):

@@ -251,10 +251,14 @@ def evaluate(
         except ImportError:
             pass
 
-    # Pipelined loop: the jitted step is dispatched asynchronously, so the
-    # device computes batch k+1 while the host converts batch k's (tiny)
-    # results and runs the per-image matcher in a worker thread.  Keeping
-    # ≤ PIPELINE batches in flight bounds device memory; stats order is
+    # Pipelined loop: the jitted step is dispatched asynchronously AND the
+    # result fetch runs in the worker pool — on tunnel-attached hosts a
+    # device_get pays a round-trip plus the ~350 KB dets transfer, and
+    # blocking the dispatch thread on it serializes fetch time with
+    # everything else (measured: moving it off-thread took eval from
+    # ~120 to device-bound img/s).  Each worker task fetches ONE combined
+    # (dets, valid, loss_items) tuple, converts, and matches; keeping
+    # ≤ PIPELINE batches in flight bounds device memory.  Stats order is
     # preserved via the futures list (AP matching is per-image anyway).
     import collections
     import concurrent.futures as cf
@@ -262,25 +266,33 @@ def evaluate(
     PIPELINE = 3
     in_flight = collections.deque()
     stat_futures = []
+    loss_acc: list = []
 
-    def drain_one():
-        nonlocal total_loss_items
-        (dets, valid, loss_items), tgt, mask, real_b = in_flight.popleft()
-        for k, v in loss_items.items():
-            total_loss_items[k] = total_loss_items.get(k, 0.0) + float(v)
-        # ONE combined host fetch: on tunnel-attached hosts each fetch
-        # pays a round-trip, and dets+valid fetched separately cost two
-        dets, valid = jax.device_get((dets, valid))
+    def fetch_and_match(out, tgt, mask, real_b):
+        dets, valid, loss_items = out
+        # ONE combined host fetch (dets+valid+loss separately would cost
+        # a round-trip each); jax transfers are thread-safe
+        dets, valid, loss_items = jax.device_get((dets, valid, loss_items))
+        loss_acc.append(loss_items)
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         outputs_list = [dets[b][valid[b]] for b in range(real_b)]
         target_rows = padded_targets_to_rows(tgt, mask, img_size)
-        stat_futures.append(
-            matcher.submit(get_batch_statistics, outputs_list, target_rows,
-                           iouv, niou)
-        )
+        return get_batch_statistics(outputs_list, target_rows, iouv, niou)
 
-    with cf.ThreadPoolExecutor(max_workers=2) as matcher:
+    def drain_one(block: bool):
+        args = in_flight.popleft()
+        fut = matcher.submit(fetch_and_match, *args)
+        stat_futures.append(fut)
+        if block:
+            # full pipeline: apply backpressure PIPELINE batches back, where
+            # the result is long since fetched (bounds in-flight device
+            # buffers without stalling on the most recent batch)
+            k = len(stat_futures) - PIPELINE
+            if k >= 0:
+                stat_futures[k].result()
+
+    with cf.ThreadPoolExecutor(max_workers=3) as matcher:
         for batch in iterator:
             real_b = batch["images"].shape[0]
             seen += real_b
@@ -323,11 +335,14 @@ def evaluate(
                 mask_host = arrays["tgt_mask"][:real_b]
             in_flight.append((out, tgt_host, mask_host, real_b))
             if len(in_flight) >= PIPELINE:
-                drain_one()
+                drain_one(block=True)
         while in_flight:
-            drain_one()
+            drain_one(block=False)
         for f in stat_futures:
             stats += f.result()
+    for loss_items in loss_acc:
+        for k, v in loss_items.items():
+            total_loss_items[k] = total_loss_items.get(k, 0.0) + float(v)
 
     stats_cat = [np.concatenate(x, 0) for x in zip(*stats)] if stats else []
     nt, p, r, ap50, ap, f1, ap_class, mp, mr, map50, map5095 = (
