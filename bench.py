@@ -602,24 +602,31 @@ def bench_train(img: int, batch: int, iters: int = 12,
         spec = next(iter(cloader))
         sa = {k: jnp.asarray(np.asarray(v)) for k, v in spec.items()
               if k != "paths"}
-        imgs = render_batch(sa, n_out=batch, bank=bank, method=render_method)
-        jax.block_until_ready(imgs)
-        r_iters = 8
         # chained + fetch-forced (see module docstring): each iter's
         # HSV-gain bump derives from the previous image, so the final
         # 4-byte fetch forces all r_iters renders.  The bump must be
         # RELATIVE and above the f32 ulp of a ~1.0 gain (an additive
         # chk*1e-9 bump rounds to the SAME bits — the tunnel then dedups
         # every render and the loop measures RTT-bound checksum programs
-        # instead — the ADVICE r3 below-ulp bug pattern)
-        chk = jnp.float32(fresh_seed())
+        # instead — the ADVICE r3 below-ulp bug pattern).  The WHOLE
+        # bump+render+checksum iteration is one jitted program: spelled
+        # eagerly, its ~8 scalar ops each pay the ~100 ms axon tunnel
+        # round-trip and the loop reads ~430 ms/batch for 21 ms of device
+        # work (r5 profile, scripts/prof_hot.py render).
+        def _chain_render(sa_, bank_, chk_):
+            s_ = dict(sa_, spec_hsv=sa_["spec_hsv"]
+                      * (1.0 + (chk_ % 97.0) * 1e-5))
+            img_r = render_batch(s_, n_out=batch, bank=bank_,
+                                 method=render_method)
+            return img_r[0, 0, 0, 0].astype(jnp.float32) + (chk_ % 64.0) + 1
+
+        chain_render = jax.jit(_chain_render)
+        r_iters = 8
+        chk = chain_render(sa, bank, jnp.float32(fresh_seed()))  # compile
+        assert np.isfinite(float(chk))
         t0 = time.perf_counter()
         for _ in range(r_iters):
-            s = dict(sa, spec_hsv=sa["spec_hsv"]
-                     * (1.0 + (chk % 97.0) * 1e-5))
-            img_r = render_batch(s, n_out=batch, bank=bank,
-                                 method=render_method)
-            chk = img_r[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1
+            chk = chain_render(sa, bank, chk)
         assert np.isfinite(float(chk))
         render_ms = (time.perf_counter() - t0) / r_iters * 1e3
     except Exception as e:  # noqa: BLE001
@@ -701,20 +708,22 @@ def bench_train(img: int, batch: int, iters: int = 12,
     # the host emits render specs (decode + label math only); mosaic/warp/
     # HSV/mixup composite on device (ryolo_tpu/data/device_augment.py)
     def run_epochs(dloader, bank, n_epochs, first_epoch):
+        # render + step as ONE jitted dispatch per batch
+        # (trainer.train_step_rendered): the spec arrays ride the call as
+        # numpy.  Spelled as eager per-array uploads + two dispatches, the
+        # loop paid ~50 ms/batch of tunnel round-trips on top of the ~84 ms
+        # of device work (r5: 58 img/s measured vs the 87 ms/batch device
+        # floor) — and the optimizer-state chain still forces every step.
         nonlocal state
         n_img = 0
         t0 = time.perf_counter()
         for epoch in range(first_epoch, first_epoch + n_epochs):
             dloader.set_epoch(epoch)
             for b in dloader:
-                sa = {k: jnp.asarray(np.asarray(v))
-                      for k, v in b.items() if k != "paths"}
-                images = render_batch(sa, n_out=batch, bank=bank,
-                                      method=render_method, out_dtype=dtype)
-                arrays = {"images": images, "tgt": sa["tgt"],
-                          "tgt_csl": sa["tgt_csl"],
-                          "tgt_mask": sa["tgt_mask"]}
-                state, loss, _ = trainer.train_step(state, arrays, lr, acc)
+                sa = {k: np.asarray(v) for k, v in b.items()
+                      if k != "paths"}
+                state, loss, _ = trainer.train_step_rendered(
+                    state, sa, bank, lr, acc, batch, render_method)
                 n_img += batch
         assert np.isfinite(float(loss))  # forces the state chain
         return n_img / (time.perf_counter() - t0)

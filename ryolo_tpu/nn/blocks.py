@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ryolo_tpu.nn.fused_bn import FusedBatchNorm
+
 Dtype = Any
 
 def _chain_barrier(x, deploy: bool):
@@ -230,7 +232,7 @@ class _S2DStemHalf(nn.Module):
         b, h, w, c = y.shape
         if self.fold > 1:
             y = y.reshape(b, h, w, self.fold, c // self.fold)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = FusedBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(y)
         if self.fold > 1:
             y = y.reshape(b, h, w, c)
@@ -372,7 +374,7 @@ class ConvBlock(nn.Module):
             name="conv",
         )(x)
         if self.bn and not self.deploy:
-            x = nn.BatchNorm(
+            x = FusedBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
@@ -687,16 +689,16 @@ class RepConv(nn.Module):
         dense = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
                         padding=[(p, p), (p, p)], use_bias=False,
                         dtype=self.dtype, name="dense_conv")(x)
-        dense = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        dense = FusedBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name="dense_bn")(dense)
         one = nn.Conv(self.c2, (1, 1), strides=(self.s, self.s),
                       use_bias=False, dtype=self.dtype, name="px_conv")(x)
-        one = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        one = FusedBatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype, name="px_bn")(one)
         out = dense + one
         if self.c1 == self.c2 and self.s == 1:
-            ident = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            ident = FusedBatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name="id_bn")(x)
             out = out + ident

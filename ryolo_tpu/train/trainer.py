@@ -113,6 +113,38 @@ class Trainer:
 
     @partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState, batch, lr, accumulate):
+        return self._step_impl(state, batch, lr, accumulate)
+
+    @partial(jax.jit, static_argnums=(0, 6, 7))
+    def train_step_rendered(self, state: TrainState, spec_batch, bank, lr,
+                            accumulate, n_out: int, method: str):
+        """Device-side augmentation + train step as ONE jitted program.
+
+        Renders the loader's spec batch (mosaic/warp/HSV/mixup — see
+        ``ryolo_tpu.data.device_augment``) and runs :meth:`train_step` on
+        the result in a single dispatch.  Bit-identical to the two-call
+        sequence (the renderer and step are the same traced programs,
+        inlined); the fusion exists for the dispatch path: per training
+        batch the host issues ONE async call whose arguments are the KB-
+        sized spec arrays (numpy accepted — the transfer rides the call),
+        instead of N eager uploads + two dispatches, which on low-
+        bandwidth/high-latency (tunnel-attached) hosts is the difference
+        between a fed and a starved chip.  Replaces the reference's
+        host-side augment + H2D image copy (datasets/base_dataset.py:
+        92-159, train.py:184-216).
+        """
+        from ryolo_tpu.data.device_augment import render_batch
+
+        images = render_batch(spec_batch, n_out=n_out, bank=bank,
+                              method=method,
+                              out_dtype=getattr(self.model, "dtype", None))
+        batch = {"images": images}
+        for k in ("tgt", "tgt_csl", "tgt_mask"):
+            if k in spec_batch:
+                batch[k] = spec_batch[k]
+        return self._step_impl(state, batch, lr, accumulate)
+
+    def _step_impl(self, state: TrainState, batch, lr, accumulate):
         """One micro-batch: grad accumulate; apply update every
         ``accumulate`` micro-batches (``train.py:200-202``)."""
 

@@ -77,16 +77,27 @@ def main():
         # loop's chained HSV bumps differ between methods, so its last
         # frames are NOT comparable across methods
         outs[method] = np.asarray(img)
+
+        # the WHOLE bump+render+checksum iteration is ONE jitted program:
+        # spelled eagerly, its ~8 scalar ops each pay the ~100 ms axon
+        # tunnel round-trip and the loop reads ~430 ms/batch for ~21 ms of
+        # device work (r5 profile, scripts/prof_hot.py render)
+        def _chain(sa_, bank_, chk_, method=method):
+            s_ = dict(sa_, spec_hsv=sa_["spec_hsv"]
+                      * (1.0 + (chk_ % 97.0) * 1e-5))
+            im = render_batch(s_, n_out=args.batch, bank=bank_,
+                              method=method)
+            return im[0, 0, 0, 0].astype(jnp.float32) + (chk_ % 64.0) + 1
+
+        chain = jax.jit(_chain)
         chk = jnp.float32(
             1 + int.from_bytes(os.urandom(4), "little") % (1 << 23)
             / 2048.0)
+        chk = chain(sa, bank, chk)  # compile the chained program
+        assert np.isfinite(float(chk))
         t0 = time.perf_counter()
         for _k in range(args.iters):
-            s = dict(sa, spec_hsv=sa["spec_hsv"]
-                     * (1.0 + (chk % 97.0) * 1e-5))
-            img = render_batch(s, n_out=args.batch, bank=bank,
-                               method=method)
-            chk = img[0, 0, 0, 0].astype(jnp.float32) + (chk % 64.0) + 1
+            chk = chain(sa, bank, chk)
         assert np.isfinite(float(chk))  # forces the chain
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{method:8s} {ms:8.2f} ms/batch "

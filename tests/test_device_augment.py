@@ -274,3 +274,60 @@ def test_cache_images_identical(synth):
         _, img1, lab1 = ds1.get_sample(index, _rng(7, index))
         np.testing.assert_array_equal(img0, img1)
         np.testing.assert_array_equal(lab0, lab1)
+
+
+def test_train_step_rendered_matches_two_call(synth):
+    """The fused render+step program (trainer.train_step_rendered) must be
+    BIT-IDENTICAL to the two-call sequence (render_batch then train_step):
+    the fusion exists only to collapse the per-batch dispatch path (one
+    jitted call, numpy spec args) — same traced programs, inlined."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from ryolo_tpu.data.device_augment import render_batch
+    from ryolo_tpu.data.loader import DataLoader
+    from ryolo_tpu.train.trainer import Trainer
+
+    ds = _dataset(synth)
+    loader = DataLoader(ds, batch_size=2, csl=True, device_augment=True,
+                        max_targets=8, seed=7, shuffle=False)
+    b = next(iter(loader))
+    sa_np = {k: np.asarray(v) for k, v in b.items() if k != "paths"}
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3), strides=(2, 2))(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            return x
+
+    model = Tiny()
+
+    def loss_fn(outputs, batch):
+        # touch the targets so the fused path must thread them through
+        loss = (jnp.mean(outputs.astype(jnp.float32) ** 2)
+                + 1e-6 * jnp.sum(batch["tgt"] * batch["tgt_mask"][..., None]))
+        return loss, {"total_loss": loss}
+
+    sa_dev = {k: jnp.asarray(v) for k, v in sa_np.items()}
+    imgs = render_batch(sa_dev, n_out=2, method="taps")
+    variables = dict(model.init(jax.random.PRNGKey(0), imgs))
+    tr = Trainer(model, loss_fn, "SGD", 0.1)
+    state0 = tr.init_state(variables)
+
+    arrays = {"images": imgs, "tgt": sa_dev["tgt"],
+              "tgt_csl": sa_dev["tgt_csl"], "tgt_mask": sa_dev["tgt_mask"]}
+    s_ref, loss_ref, _ = tr.train_step(state0, arrays, jnp.float32(0.1),
+                                       jnp.int32(1))
+    s_fus, loss_fus, _ = tr.train_step_rendered(
+        state0, sa_np, None, jnp.float32(0.1), jnp.int32(1), 2, "taps")
+
+    assert float(loss_ref) == float(loss_fus)
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.params)
+    fus_leaves = jax.tree_util.tree_leaves(s_fus.params)
+    for a, c in zip(ref_leaves, fus_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree_util.tree_leaves(s_ref.batch_stats),
+                    jax.tree_util.tree_leaves(s_fus.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

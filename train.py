@@ -227,7 +227,9 @@ class Train:
                     # from the resident bank)
                     from ryolo_tpu.data.device_augment import (pick_method,
                                                                render_batch)
-
+                if args.device_augment and mesh is not None:
+                    # under a mesh the rendered images must be re-sharded:
+                    # render, then shard_batch, then the plain step below
                     sa = {k: jnp.asarray(v) for k, v in batch.items()
                           if k != "paths"}
                     # render straight to the model's compute dtype: the
@@ -242,31 +244,42 @@ class Train:
                              "tgt_mask": sa["tgt_mask"]}
                     if "tgt_csl" in sa:
                         batch["tgt_csl"] = sa["tgt_csl"]
-                if mesh is not None:
-                    from ryolo_tpu.parallel.mesh import shard_batch
 
-                    device_batch = shard_batch(batch, mesh,
-                                               spatial=args.sp > 1)
-                else:
-                    device_batch = {
-                        k: jnp.asarray(v)
-                        for k, v in batch.items() if k != "paths"
-                    }
+                def run_step():
+                    if args.device_augment and mesh is None:
+                        # single-chip: render + step as ONE jitted dispatch
+                        # (trainer.train_step_rendered) — the KB-sized spec
+                        # arrays ride the call as numpy, no eager uploads
+                        sa = {k: np.asarray(v) for k, v in batch.items()
+                              if k != "paths"}
+                        return trainer.train_step_rendered(
+                            state, sa, tile_bank, jnp.float32(lr_now),
+                            jnp.int32(acc_now), args.batch_size,
+                            pick_method(hyp_cfg, args.img_size))
+                    if mesh is not None:
+                        from ryolo_tpu.parallel.mesh import shard_batch
+
+                        device_batch = shard_batch(batch, mesh,
+                                                   spatial=args.sp > 1)
+                    else:
+                        device_batch = {
+                            k: jnp.asarray(v)
+                            for k, v in batch.items() if k != "paths"
+                        }
+                    return trainer.train_step(
+                        state, device_batch, jnp.float32(lr_now),
+                        jnp.int32(acc_now),
+                    )
+
                 if args.profile and epoch == start_epoch and batch_i == 1:
                     # one profiled step (skip step 0 = compile)
                     with jax.profiler.trace(
                         os.path.join(self.model_path, "profile")
                     ):
-                        state, loss, items = trainer.train_step(
-                            state, device_batch, jnp.float32(lr_now),
-                            jnp.int32(acc_now),
-                        )
+                        state, loss, items = run_step()
                         jax.block_until_ready(state.params)
                 else:
-                    state, loss, items = trainer.train_step(
-                        state, device_batch, jnp.float32(lr_now),
-                        jnp.int32(acc_now),
-                    )
+                    state, loss, items = run_step()
 
                 if first:
                     header += "".join("%12s" % k for k in items)
