@@ -16,10 +16,13 @@ layers (cbs0-3 at 800px B8), ~10 ms of the 62.8 ms step.  The closed form
     dx = scale * rstd * (dy - mean(dy) - x_hat * mean(dy * x_hat))
 
 produces dx in ONE pass over the activation plus one (shared-input)
-reduction pass for dgamma/dbeta.  The reductions additionally lane-fold:
-a (N, C) channel reduce with C < 128 uses C/128 of the VPU; reshaping the
-contiguous buffer to (N/k, k*C), k = 128//C, reduces at full width and
-the k partials collapse in a (k, C) epilogue.
+reduction pass for dgamma/dbeta.  The reductions stay plain
+leading-axes sums: an earlier lane-folding variant (reshape (N, C) ->
+(N/k, k*C) to reduce at full 128-lane width) REGRESSED the step 121 ->
+78.7 img/s — on TPU a narrow-C array is lane-padded to 128, so that
+reshape is a physical repack of the whole activation, not a free
+buffer reinterpretation (r5 microbench: 54.8 ms/grad-iter folded vs
+42.1 plain vs 44.9 flax at (8,400,400,32)).
 
 Exactness contract:
   * forward: the same ops in the same order as flax (`_compute_stats`
@@ -42,20 +45,14 @@ from flax import linen as nn
 from flax.linen import dtypes as flax_dtypes
 
 
-def _folded_sum(a: jax.Array):
-    """Sum over all leading axes -> (C,), lane-folding narrow channels.
+def _channel_sum(a: jax.Array):
+    """Sum over all leading axes -> (C,).
 
-    ``a`` is (..., C) float32, contiguous: reshaping to (n//k, k*C) is a
-    reinterpretation of the flat buffer (no data movement), the single
-    axis-0 reduce runs at full 128-lane width, and the k per-group
-    partials collapse in a tiny (k, C) epilogue.
+    Collapsing the major axes is layout-free; do NOT fold lanes into the
+    minor axis (see module docstring: lane-padding makes that reshape a
+    full-activation repack on TPU).
     """
-    C = a.shape[-1]
-    n = a.size // C
-    k = 128 // C if C < 128 else 1
-    if k > 1 and n % k == 0:
-        return a.reshape(n // k, k * C).sum(0).reshape(k, C).sum(0)
-    return a.reshape(n, C).sum(0)
+    return a.reshape(a.size // a.shape[-1], a.shape[-1]).sum(0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -93,8 +90,8 @@ def _bn_train_bwd(eps: float, out_dtype, res, cts):
     x32 = x.astype(jnp.float32)
     xhat = (x32 - mu) * rstd
     n = x.size // x.shape[-1]
-    dbeta = _folded_sum(dy)
-    dgamma = _folded_sum(dy * xhat)
+    dbeta = _channel_sum(dy)
+    dgamma = _channel_sum(dy * xhat)
     g = scale * rstd
     dx = (dy - dbeta * (1.0 / n) - xhat * (dgamma * (1.0 / n))) * g
     return dx.astype(x.dtype), dgamma, dbeta

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from ryolo_tpu.nn.fused_bn import FusedBatchNorm, _folded_sum
+from ryolo_tpu.nn.fused_bn import FusedBatchNorm, _channel_sum
 
 
 def _pair(dtype):
@@ -91,11 +91,13 @@ def test_backward_matches_autodiff(dtype):
         atol=2e-2 if dtype == jnp.bfloat16 else 1e-5)
 
 
-def test_folded_sum_exact_paths():
+def test_channel_sum_exact_paths():
     rng = np.random.default_rng(2)
-    for shape in [(16, 32), (12, 32), (7, 200), (8, 128), (30, 64)]:
+    for shape in [(16, 32), (12, 32), (7, 200), (8, 128), (30, 64),
+                  (2, 3, 5, 16)]:
         a = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
-        got = np.asarray(_folded_sum(a))
-        want = np.asarray(a).astype(np.float64).sum(0)
+        got = np.asarray(_channel_sum(a))
+        want = np.asarray(a).astype(np.float64).reshape(
+            -1, shape[-1]).sum(0)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
         assert got.shape == (shape[-1],)
